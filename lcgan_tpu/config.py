@@ -1,0 +1,151 @@
+"""Run configuration.
+
+Mirrors the 33 CLI flags of the reference (``main.py:12-61``) with identical
+names, defaults, and semantics, plus TPU-native extensions (compute dtype,
+mesh shape, deterministic seeds). Serialized to ``<model_name>/args.txt``
+like the reference (``loader.py:27-28``) and reloadable (an improvement —
+the reference never reloads it, ``SURVEY.md §5``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Config:
+    # --- phase control (main.py:16-17) ---
+    phase: str = "train"  # train | fid_eval | fake_image_generation | video_generation
+    best: bool = False
+
+    # --- loss weights (main.py:19-23) ---
+    tau: float = 0.05
+    l_adv: float = 1.0
+    l_aux: float = 0.5
+    l_r1: float = 10.0
+    l_s: float = 1e-7
+
+    # --- latent geometry (main.py:25-31) ---
+    max_flow_scale: float = 0.1
+    geo_noise_dim: int = 64
+    app_noise_dim: int = 64
+    geo_projection_dim: int = 256
+    app_projection_dim: int = 256
+    geo_latent_dim: int = 64
+    app_latent_dim: int = 512
+
+    # --- schedule (main.py:33-42) ---
+    epoch: int = 100000  # per the reference, an "epoch" is one iteration
+    batch_size: int = 32  # global batch, split across data-parallel devices
+    g_lr: float = 0.002
+    d_lr: float = 0.002
+    beta1: float = 0.0
+    beta2: float = 0.99
+    g_ema_decay: float = 0.9999
+    g_ema_start: int = 0
+    freezeD_start: int = 100000
+    freezeD_layer: int = 5
+
+    # --- image / truncation (main.py:44-47) ---
+    img_resolution: int = 256
+    img_ch: int = 3
+    psi: float = 2.0
+    w_psi: float = 1.0
+
+    # --- paths (main.py:49-52) ---
+    dataset_path: str = "./"
+    model_name: str = ""
+    save_dir: str = "model"
+    sample_dir: str = "samples"
+
+    # --- generation (main.py:54-56) ---
+    num_fakes: int = 10
+    ctrl_dim: int = -1
+    num_videos: int = 10
+
+    # --- intervals (main.py:58-60) ---
+    save_interval: int = 5000
+    print_interval: int = 100
+    show_interval: int = 1000
+
+    # --- TPU-native extensions (not in reference) ---
+    compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay fp32
+    seed: int = 0
+    base_nf: Optional[int] = None  # override channel base (tests / tiny models)
+    max_nf: int = 512
+    mbstd_group_size: int = 8  # cnn.py:28
+    num_data_workers: int = 4  # worker.py:37
+    inception_weights: str = ""  # path to pytorch-fid .pth for FID eval
+    adam_eps: float = 1e-8  # worker.py:100
+    # Rematerialize G/D blocks in backward passes. Default ON: the train
+    # iteration holds up to 9 model applications live (3 G + 6 D on even
+    # iters, worker.py:137-214); without remat their activations exceed a
+    # v5e's 16G HBM at 256² batch 32. Costs ~1/3 extra forward FLOPs.
+    remat_blocks: bool = True
+    profile_dir: str = ""  # if set, jax.profiler traces are written here
+
+    # ------------------------------------------------------------------
+    @property
+    def resolved_base_nf(self) -> int:
+        """Channel base per resolution (cnn.py:17, cnn.py:54)."""
+        if self.base_nf is not None:
+            return self.base_nf
+        return 32 if self.img_resolution == 1024 else 64 if self.img_resolution == 512 else 128
+
+    @property
+    def num_blocks(self) -> int:
+        """log2(resolution) - 2, 4×4 base (cnn.py:13, cnn.py:52)."""
+        import math
+
+        return int(math.log2(self.img_resolution)) - 2
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    # ------------------------------------------------------------------
+    def run_dirs(self) -> dict:
+        """Run-directory layout matching check_args (main.py:70-95)."""
+        return {
+            "root": self.model_name,
+            "model": os.path.join(self.model_name, self.save_dir),
+            "samples": os.path.join(self.model_name, self.sample_dir),
+            "fakes": os.path.join(self.model_name, "fakes"),
+            "demo": os.path.join(self.model_name, "demo"),
+        }
+
+    def make_run_dirs(self):
+        d = self.run_dirs()
+        for key in ("root", "model", "samples"):
+            os.makedirs(d[key], exist_ok=True)
+
+    def dump(self, path: str):
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+    PHASES = ("train", "fid_eval", "fake_image_generation", "video_generation")
+
+    def validate(self):
+        if self.phase not in self.PHASES:
+            raise ValueError(f"unknown phase {self.phase!r}; expected one of {self.PHASES}")
+        if not self.model_name:
+            raise ValueError("model name must be given")  # main.py:73-75
+        if self.epoch < 1:
+            raise ValueError("number of epochs must be >= 1")  # main.py:84-87
+        if self.batch_size < 1:
+            raise ValueError("batch size must be >= 1")  # main.py:90-93
+        res = self.img_resolution
+        if res < 8 or (res & (res - 1)) != 0:
+            raise ValueError(f"img_resolution must be a power of two >= 8, got {res}")

@@ -1,0 +1,116 @@
+"""FID evaluation (worker.py:381-425, eval/fid.py:4-27).
+
+Protocol parity: up to 50k real (train-split) images vs an equal number of
+EMA-generated images at cfg.w_psi; pool3 2048-d features; Fréchet distance
+via scipy sqrtm (fp64).
+
+Fix over the reference (SURVEY.md §3.2): features are gathered across all
+processes before computing mean/cov — the reference computes per-shard FID
+with no cross-rank gather (worker.py:390-418).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+from lcgan_tpu.config import Config
+from lcgan_tpu.data.dataset import ImageFolderDataset
+from lcgan_tpu.eval.inception import InceptionV3FID
+
+
+def calc_fid(sample_mean, sample_cov, real_mean, real_cov, eps: float = 1e-6) -> float:
+    """Fréchet distance ||m1-m2||² + Tr(C1 + C2 - 2·(C1 C2)^{1/2})."""
+    cov_sqrt, _ = linalg.sqrtm(sample_cov @ real_cov, disp=False)
+    if not np.isfinite(cov_sqrt).all():
+        offset = np.eye(sample_cov.shape[0]) * eps
+        cov_sqrt = linalg.sqrtm((sample_cov + offset) @ (real_cov + offset))
+    if np.iscomplexobj(cov_sqrt):
+        if not np.allclose(np.diagonal(cov_sqrt).imag, 0, atol=1e-3):
+            raise ValueError(f"Imaginary component {np.max(np.abs(cov_sqrt.imag))}")
+        cov_sqrt = cov_sqrt.real
+    mean_diff = sample_mean - real_mean
+    return float(
+        mean_diff @ mean_diff
+        + np.trace(sample_cov) + np.trace(real_cov) - 2 * np.trace(cov_sqrt)
+    )
+
+
+def load_inception_params(cfg: Config, model: InceptionV3FID):
+    """Pretrained params if provided (+auto-convert .pth), else random init
+    (random weights make FID meaningless but keep the phase runnable in CI)."""
+    path = cfg.inception_weights
+    if path:
+        if path.endswith(".pth"):
+            from lcgan_tpu.eval.convert import convert_torch_inception
+
+            params = convert_torch_inception(path)
+        else:
+            from lcgan_tpu.eval.convert import load_params_npz
+
+            params = load_params_npz(path)
+        return jax.tree.map(jnp.asarray, {"params": params})
+    print(
+        "WARNING: --inception_weights not set; using RANDOM Inception weights. "
+        "The resulting FID is not comparable to the reference protocol."
+    )
+    dummy = jnp.zeros((1, 299, 299, 3))
+    return InceptionV3FID().init(jax.random.PRNGKey(0), dummy)
+
+
+def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) -> float:
+    inception = InceptionV3FID(dtype=cfg.dtype)
+    inc_vars = load_inception_params(cfg, inception)
+
+    @jax.jit
+    def features(imgs):
+        return inception.apply(inc_vars, imgs)
+
+    dataset = ImageFolderDataset(cfg.dataset_path, cfg.img_resolution, is_train=False, seed=cfg.seed)
+    n = min(len(dataset), 50000 if num_images is None else num_images)
+    local_b = max(cfg.batch_size // jax.process_count(), 1)
+    num_batches = int(math.floor(n / cfg.batch_size)) if cfg.batch_size <= n else 1
+    num_batches = max(num_batches, 1)
+
+    # ---- real features (this process's strided shard of the dataset) ----
+    pi, pc = jax.process_index(), jax.process_count()
+    real_feats = []
+    idx = pi
+    for _ in range(num_batches):
+        imgs = []
+        for _ in range(local_b):
+            imgs.append(dataset.get_eval(idx % len(dataset))[0])
+            idx += pc
+        real_feats.append(np.asarray(features(jnp.asarray(np.stack(imgs)))))
+
+    # ---- generated features ----
+    key = jax.random.PRNGKey(cfg.seed + 1 + pi)
+    gen_feats = []
+    for _ in range(num_batches):
+        key, k1, k2 = jax.random.split(key, 3)
+        z1 = jax.random.normal(k1, (local_b, cfg.geo_noise_dim))
+        z2 = jax.random.normal(k2, (local_b, cfg.app_noise_dim))
+        fake = trainer.generate(state, z1, z2, w_psi=cfg.w_psi)
+        gen_feats.append(np.asarray(features(fake)))
+
+    real = np.concatenate(real_feats, 0).astype(np.float64)
+    gen = np.concatenate(gen_feats, 0).astype(np.float64)
+
+    if pc > 1:  # cross-process gather (the reference never gathers)
+        from jax.experimental import multihost_utils
+
+        real = np.asarray(multihost_utils.process_allgather(real)).reshape(-1, real.shape[-1])
+        gen = np.asarray(multihost_utils.process_allgather(gen)).reshape(-1, gen.shape[-1])
+
+    fid_value = calc_fid(
+        gen.mean(0), np.cov(gen, rowvar=False), real.mean(0), np.cov(real, rowvar=False)
+    )
+    if jax.process_index() == 0:
+        print("fid_value:", fid_value)
+    return fid_value

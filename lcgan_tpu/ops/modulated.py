@@ -1,0 +1,146 @@
+"""Modulated (StyleGAN2 mod/demod) convolution, TPU-native formulation.
+
+The reference (custom_layers.py:47-86) builds a per-sample weight tensor and
+runs a grouped conv with ``groups = batch`` — a pattern that maps terribly to
+XLA/TPU (it forces either a huge reshaped conv or per-sample dispatch).
+
+Because convolution is linear in each input channel, modulation and
+demodulation commute with the conv:
+
+    y[b,o] = conv(x[b] * s[b,:], W)[o] * d[b,o] + bias[o]
+    d[b,o] = rsqrt( sum_i s[b,i]^2 * ||W[:,:,i,o]||^2 + eps )
+
+which is *algebraically identical* to the reference's per-sample weights
+(custom_layers.py:62-68) but runs as ONE shared-weight convolution on the MXU
+plus two cheap elementwise scalings that XLA fuses into the conv's prologue/
+epilogue. The demod norm reduces to a (B,I)x(I,O) matmul.
+
+The ``up=2`` path reproduces torch ``conv_transpose2d(stride=2,
+padding=(k-1)//2, output_padding=1)`` geometry (custom_layers.py:74-80) via
+``conv_general_dilated`` with ``lhs_dilation=2`` and asymmetric padding
+``(k-1-p, k-p)`` with a spatially flipped kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lcgan_tpu.ops.equalized import PRECISION, EqualizedLinear, _equalized_init, equalized_scale
+
+Dtype = Any
+
+
+def modulated_conv2d(
+    x: jax.Array,  # (B, H, W, I)
+    styles: jax.Array,  # (B, I)
+    weight: jax.Array,  # (k, k, I, O), already equalized-scaled, fp32
+    bias: jax.Array,  # (O,), already lr_mul-scaled, fp32
+    *,
+    up: int = 1,
+    eps: float = 1e-8,
+    dtype: Dtype = jnp.float32,
+) -> jax.Array:
+    """Functional mod/demod conv. See module docstring for the rewrite."""
+    k = weight.shape[0]
+    pad = (k - 1) // 2
+
+    # Demodulation coefficient: d[b,o] = rsqrt(sum_i s^2[b,i] * wsq[i,o] + eps).
+    wsq = jnp.sum(jnp.square(weight), axis=(0, 1))  # (I, O), fp32
+    sigma = jnp.dot(
+        jnp.square(styles.astype(jnp.float32)), wsq,
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )
+    demod = jax.lax.rsqrt(sigma + eps)  # (B, O)
+
+    xs = x.astype(dtype) * styles.astype(dtype)[:, None, None, :]
+    if up == 1:
+        y = jax.lax.conv_general_dilated(
+            xs,
+            weight.astype(dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=PRECISION,
+        )
+    else:
+        # torch conv_transpose2d(stride=up, padding=pad, output_padding=1) as a
+        # direct conv over an lhs-dilated input with flipped kernel
+        # (custom_layers.py:74-80; output size = up*H exactly).
+        assert up == 2, "reference only uses up in {1, 2}"
+        w_t = jnp.flip(weight, axis=(0, 1)).astype(dtype)
+        lo, hi = k - 1 - pad, k - pad  # output_padding=1 adds one on the hi side
+        y = jax.lax.conv_general_dilated(
+            xs,
+            w_t,
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(up, up),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=PRECISION,
+        )
+    # epilogue in the compute dtype: an fp32 demod multiply would materialize
+    # an fp32 copy of the (dominant) activation tensor under bf16 training
+    y = y * demod.astype(y.dtype)[:, None, None, :] + bias.astype(y.dtype)
+    return y.astype(dtype)
+
+
+class ModulatedConv2d(nn.Module):
+    """StyleGAN2 mod/demod conv module (custom_layers.py:47-86)."""
+
+    features: int
+    kernel_size: int
+    up: int = 1
+    eps: float = 1e-8
+    lr_mul: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        in_features = x.shape[-1]
+        w = self.param("weight", _equalized_init(self.lr_mul), (k, k, in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        c = equalized_scale(in_features * k * k, self.lr_mul)
+        return modulated_conv2d(
+            x,
+            s,
+            (w * c).astype(jnp.float32),
+            (b * self.lr_mul).astype(jnp.float32),
+            up=self.up,
+            eps=self.eps,
+            dtype=self.dtype,
+        )
+
+
+class SynthesisLayer(nn.Module):
+    """Style affine + modulated conv (custom_layers.py:89-111).
+
+    ``use_noise`` is accepted for parity but the reference disables it
+    everywhere (cnn.py:83,87), so the noise branch is intentionally omitted.
+    """
+
+    features: int
+    latent_dim: int  # kept for interface parity; inferred from the latent
+    kernel_size: int = 3
+    up: int = 1
+    lr_mul: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, latent: jax.Array) -> jax.Array:
+        # style = EqualizedLinear(latent -> in_features, bias init 1.0)
+        s = EqualizedLinear(
+            features=x.shape[-1], bias_init=1.0, lr_mul=1.0, dtype=jnp.float32, name="linear"
+        )(latent)
+        return ModulatedConv2d(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            up=self.up,
+            lr_mul=1.0,
+            dtype=self.dtype,
+            name="modulated_conv",
+        )(x, s)

@@ -1,0 +1,98 @@
+"""Train state pytree.
+
+One pytree holds *everything* the run needs to resume bit-exact: both
+parameter sets, the generator's w-avg stats, EMA params+stats, both Adam
+states, the PRNG key, and the step counter. This is strictly more than the
+reference checkpoints (worker.py:219-253 drops optimizer and RNG state —
+SURVEY.md §3.5), and it makes Orbax save/restore a single operation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from lcgan_tpu.config import Config
+from lcgan_tpu.models import Discriminator, Generator
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    g_params: Any
+    g_stats: Any
+    d_params: Any
+    ema_params: Any
+    ema_stats: Any
+    g_opt: Any
+    d_opt: Any
+    rng: jax.Array
+
+
+def build_models(cfg: Config):
+    generator = Generator(
+        img_resolution=cfg.img_resolution,
+        geo_noise_dim=cfg.geo_noise_dim,
+        app_noise_dim=cfg.app_noise_dim,
+        geo_latent_dim=cfg.geo_latent_dim,
+        app_latent_dim=cfg.app_latent_dim,
+        max_flow_scale=cfg.max_flow_scale,
+        base_nf=cfg.base_nf,
+        max_nf=cfg.max_nf,
+        img_ch=cfg.img_ch,
+        remat=cfg.remat_blocks,
+        dtype=cfg.dtype,
+    )
+    discriminator = Discriminator(
+        img_resolution=cfg.img_resolution,
+        geo_projection_dim=cfg.geo_projection_dim,
+        app_projection_dim=cfg.app_projection_dim,
+        base_nf=cfg.base_nf,
+        max_nf=cfg.max_nf,
+        mbstd_group_size=cfg.mbstd_group_size,
+        remat=cfg.remat_blocks,
+        dtype=cfg.dtype,
+    )
+    return generator, discriminator
+
+
+def make_optimizers(cfg: Config):
+    # Adam (beta1=0.0, beta2=0.99, eps=1e-8), worker.py:98-110
+    g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+    d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+    return g_tx, d_tx
+
+
+def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
+    """Initialize all params/opt-states; EMA starts as an exact copy
+    (ema.py:12-17)."""
+    generator, discriminator = build_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    kg, kd, krun = jax.random.split(key, 3)
+    # mbstd divides the per-device batch into groups; 2 samples suffice for init
+    z1 = jnp.zeros((2, cfg.geo_noise_dim))
+    z2 = jnp.zeros((2, cfg.app_noise_dim))
+    g_vars = generator.init(kg, z1, z2, -1.0)
+    img = jnp.zeros((2, cfg.img_resolution, cfg.img_resolution, cfg.img_ch))
+    d_vars = discriminator.init(kd, img, True)
+
+    g_params = g_vars["params"]
+    g_stats = g_vars["stats"]
+    d_params = d_vars["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        g_stats=g_stats,
+        d_params=d_params,
+        ema_params=jax.tree.map(jnp.copy, g_params),
+        ema_stats=jax.tree.map(jnp.copy, g_stats),
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        rng=krun,
+    )

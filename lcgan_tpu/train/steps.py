@@ -1,0 +1,227 @@
+"""Jitted train iteration (worker.py:137-214 + loader.py:44-54, TPU-native).
+
+One iteration = G update → EMA → D update, exactly the reference's order
+(loader.py:45-54: G first, EMA, then D on the *updated* G's fakes).
+
+The reference's data-dependent schedule (odd/even iteration branches,
+R1 every 8th, freezeD after a threshold) becomes a small set of statically
+compiled variants dispatched by the host on ``epoch % k`` — no traced
+control flow, no recompilation in steady state (SURVEY.md §7 step 4):
+
+    (even, with_r1, frozen) ∈ {(T,F,·), (F,F,·), (F,T,·)} × {pre/post-freeze}
+
+Data parallelism: the step runs under ``jax.shard_map`` over a 1-D 'data'
+mesh axis. Parameters are replicated; the batch is sharded; gradients are
+``lax.pmean``-ed over ICI — the XLA-collective equivalent of DDP's NCCL
+allreduce (worker.py:88-96). Per-device noise comes from folding the
+(replicated) step key with the device's axis index, mirroring per-rank
+torch.randn draws.
+
+Note on loss weights: the reference never applies ``l_adv`` (the flag is
+parsed at main.py:20 but unused in worker.py); adversarial terms are
+implicitly weight-1.0. Preserved here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from lcgan_tpu.config import Config
+from lcgan_tpu.losses import bce_logits, contrastive_loss, r1_penalty_with_logits, sparsity_loss
+from lcgan_tpu.train.ema import ema_update
+from lcgan_tpu.train.freeze import apply_mask, freeze_mask
+from lcgan_tpu.train.state import TrainState, build_models, create_train_state, make_optimizers
+
+
+class Trainer:
+    """Owns models, optimizers, and the compiled step/generate variants."""
+
+    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.generator, self.discriminator = build_models(cfg)
+        self.g_tx, self.d_tx = make_optimizers(cfg)
+        self.mesh = mesh
+        self.axis = "data" if mesh is not None else None
+        self._step_cache = {}
+        self._gen_cache = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        state = create_train_state(self.cfg)
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    # ------------------------------------------------------------------
+    def _g_apply(self, params, stats, z1, z2):
+        out, mut = self.generator.apply(
+            {"params": params, "stats": stats}, z1, z2, -1.0, mean_axis=self.axis, mutable=["stats"]
+        )
+        return out, mut["stats"]
+
+    def _d_apply(self, params, img, emb: bool):
+        return self.discriminator.apply({"params": params}, img, emb)
+
+    # ------------------------------------------------------------------
+    def _iteration(
+        self, state: TrainState, batch: Any, *, even: bool, with_r1: bool, frozen: bool
+    ) -> Tuple[TrainState, jax.Array, jax.Array]:
+        cfg = self.cfg
+        axis = self.axis
+
+        rng_next, rng_use = jax.random.split(state.rng)
+        if axis is not None:
+            rng_use = jax.random.fold_in(rng_use, jax.lax.axis_index(axis))
+        k = jax.random.split(rng_use, 6)
+        local_b = batch["image"].shape[0]
+
+        z_g1 = jax.random.normal(k[0], (local_b, cfg.geo_noise_dim))
+        z_g2 = jax.random.normal(k[1], (local_b, cfg.app_noise_dim))
+
+        # ---------------- G step (worker.py:179-214) ----------------
+        def g_loss_fn(g_params, g_stats):
+            anchor, g_stats = self._g_apply(g_params, g_stats, z_g1, z_g2)
+            if even:
+                z_r1 = jax.random.normal(k[2], (local_b, cfg.geo_noise_dim))
+                z_r2 = jax.random.normal(k[3], (local_b, cfg.app_noise_dim))
+                res_geo, g_stats = self._g_apply(g_params, g_stats, z_r1, z_g2)
+                res_app, g_stats = self._g_apply(g_params, g_stats, z_g1, z_r2)
+                logit, geo_feat, app_feat = self._d_apply(state.d_params, anchor, True)
+                _, geo_pos, app_neg = self._d_apply(state.d_params, res_geo, True)
+                _, geo_neg, app_pos = self._d_apply(state.d_params, res_app, True)
+                adv = bce_logits(logit, 1.0)
+                aux = (
+                    contrastive_loss(geo_feat, geo_pos, geo_neg, cfg.tau)
+                    + contrastive_loss(app_feat, app_pos, app_neg, cfg.tau)
+                ) * cfg.l_aux
+                sp = (
+                    sparsity_loss(
+                        g_params["geometry_mapping"]["diagonal_params"],
+                        g_params["appearance_mapping"]["diagonal_params"],
+                    )
+                    * cfg.l_s
+                )
+                loss = adv + aux + sp
+            else:
+                logit, _, _ = self._d_apply(state.d_params, anchor, False)
+                loss = bce_logits(logit, 1.0)
+            return loss, g_stats
+
+        (g_loss, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, state.g_stats
+        )
+        if axis is not None:
+            g_grads = jax.lax.pmean(g_grads, axis)
+            g_loss = jax.lax.pmean(g_loss, axis)
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # ---------------- EMA (loader.py:48, ema.py:19-32) ----------------
+        ema_params, ema_stats = ema_update(
+            g_params, g_stats, state.ema_params, state.ema_stats,
+            state.step, cfg.g_ema_decay, cfg.g_ema_start,
+        )
+
+        # ---------------- D step (worker.py:137-177) ----------------
+        z_d1 = jax.random.normal(k[4], (local_b, cfg.geo_noise_dim))
+        z_d2 = jax.random.normal(k[5], (local_b, cfg.app_noise_dim))
+        fake, g_stats = self._g_apply(g_params, g_stats, z_d1, z_d2)
+        fake = jax.lax.stop_gradient(fake)
+        image = batch["image"]
+
+        def d_loss_fn(d_params):
+            fake_logit, _, _ = self._d_apply(d_params, fake, False)
+            fake_loss = bce_logits(fake_logit, 0.0)
+            if even:
+                real_logit, geo_feat, app_feat = self._d_apply(d_params, image, True)
+                _, geo_pos, app_neg = self._d_apply(d_params, batch["geometry_change"], True)
+                _, geo_neg, app_pos = self._d_apply(d_params, batch["appearance_change"], True)
+                adv = bce_logits(real_logit, 1.0) + fake_loss
+                aux = (
+                    contrastive_loss(geo_feat, geo_pos, geo_neg, cfg.tau)
+                    + contrastive_loss(app_feat, app_pos, app_neg, cfg.tau)
+                ) * cfg.l_aux
+                return adv + aux
+            if with_r1:
+                real_logit, r1 = r1_penalty_with_logits(
+                    lambda img: self._d_apply(d_params, img, False)[0], image
+                )
+                return bce_logits(real_logit, 1.0) + fake_loss + r1 * cfg.l_r1
+            real_logit, _, _ = self._d_apply(d_params, image, False)
+            return bce_logits(real_logit, 1.0) + fake_loss
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        if axis is not None:
+            d_grads = jax.lax.pmean(d_grads, axis)
+            d_loss = jax.lax.pmean(d_loss, axis)
+        if frozen:
+            mask = freeze_mask(state.d_params, cfg.freezeD_layer)
+            d_grads = apply_mask(d_grads, mask)
+        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
+        if frozen:
+            d_updates = apply_mask(d_updates, mask)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            g_stats=g_stats,
+            d_params=d_params,
+            ema_params=ema_params,
+            ema_stats=ema_stats,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            rng=rng_next,
+        )
+        return new_state, g_loss, d_loss
+
+    # ------------------------------------------------------------------
+    def _build_step(self, even: bool, with_r1: bool, frozen: bool):
+        fn = functools.partial(self._iteration, even=even, with_r1=with_r1, frozen=frozen)
+        if self.mesh is not None:
+            fn = jax.shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        return jax.jit(fn, donate_argnums=0)
+
+    def step_variant(self, epoch: int):
+        """Host-side static dispatch of the reference's schedule
+        (worker.py:151,159,187; loader.py:52-53)."""
+        even = epoch % 2 == 0
+        with_r1 = epoch % 8 == 1
+        frozen = epoch >= self.cfg.freezeD_start
+        key = (even, with_r1, frozen)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(*key)
+        return self._step_cache[key]
+
+    def train_iteration(self, state: TrainState, batch: Any, epoch: int):
+        if self.mesh is not None:
+            batch = jax.device_put(batch, NamedSharding(self.mesh, P("data")))
+        return self.step_variant(epoch)(state, batch)
+
+    # ------------------------------------------------------------------
+    def generate(self, state: TrainState, z1, z2, w_psi: float, use_ema: bool = True):
+        """EMA-generator inference forward at a static w_psi (cnn.py:89-115)."""
+        key = (float(w_psi), bool(use_ema))
+        if key not in self._gen_cache:
+
+            @jax.jit
+            def gen(params, stats, z1, z2):
+                return self.generator.apply({"params": params, "stats": stats}, z1, z2, float(w_psi))
+
+            self._gen_cache[key] = gen
+        params = state.ema_params if use_ema else state.g_params
+        stats = state.ema_stats if use_ema else state.g_stats
+        return self._gen_cache[key](params, stats, z1, z2)

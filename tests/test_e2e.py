@@ -1,0 +1,133 @@
+"""End-to-end smoke: the CPU-runnable driver config — a few train steps on a
+tiny synthetic dataset, then fake_image_generation (SURVEY.md §4 integration
+test; BASELINE.json config 1)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lcgan_tpu.cli import parse_config
+
+
+@pytest.fixture
+def tiny_run(tmp_path):
+    # synthetic dataset
+    root = tmp_path / "ds" / "train" / "x"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            root / f"{i}.png"
+        )
+    return tmp_path
+
+
+def _tiny_args(tmp_path, phase, epochs=2):
+    return [
+        "--phase", phase,
+        "--model_name", str(tmp_path / "run"),
+        "--dataset_path", str(tmp_path / "ds"),
+        "--img_resolution", "16",
+        "--batch_size", "8",
+        "--epoch", str(epochs),
+        "--geo_noise_dim", "8",
+        "--app_noise_dim", "8",
+        "--geo_latent_dim", "8",
+        "--app_latent_dim", "16",
+        "--geo_projection_dim", "8",
+        "--app_projection_dim", "8",
+        "--num_fakes", "2",
+        "--save_interval", "2",
+        "--print_interval", "1",
+        "--show_interval", "1000000",
+        "--compute_dtype", "float32",
+        "--num_data_workers", "1",
+    ]
+
+
+def test_cli_parses_reference_flags(tmp_path):
+    cfg = parse_config(_tiny_args(tmp_path, "train"))
+    assert cfg.phase == "train"
+    assert cfg.batch_size == 8
+    assert cfg.tau == 0.05 and cfg.l_r1 == 10.0 and cfg.l_s == 1e-7
+
+
+@pytest.mark.slow
+def test_train_then_generate(tiny_run, monkeypatch):
+    from lcgan_tpu.config import Config
+    from lcgan_tpu.train.loop import run_phase
+
+    # tiny nets for CPU speed
+    def small(argv_phase, epochs=2):
+        cfg = parse_config(_tiny_args(tiny_run, argv_phase, epochs))
+        cfg.base_nf = 8
+        cfg.max_nf = 16
+        cfg.mbstd_group_size = 2
+        return cfg
+
+    cfg = small("train")
+    run_phase(cfg)
+
+    run_dir = str(tiny_run / "run")
+    assert os.path.exists(os.path.join(run_dir, "args.txt"))
+    assert os.path.exists(os.path.join(run_dir, "log.txt"))
+    assert os.path.exists(os.path.join(run_dir, "epoch.txt"))
+    with open(os.path.join(run_dir, "log.txt")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines and lines[0].startswith("epoch:0, elapsed:")
+    with open(os.path.join(run_dir, "args.txt")) as f:
+        assert json.load(f)["img_resolution"] == 16
+
+    # resume path: epoch.txt exists -> restart from epoch+1, state restored
+    cfg2 = small("train", epochs=3)
+    run_phase(cfg2)
+
+    # generation phase reads the checkpoint and writes jpgs
+    cfg3 = small("fake_image_generation")
+    run_phase(cfg3)
+    fakes = os.listdir(os.path.join(run_dir, "fakes"))
+    assert "0000_images.jpg" in fakes and "0001_images.jpg" in fakes
+
+
+@pytest.mark.slow
+def test_monitor_renders_sweep_videos(tiny_run):
+    from lcgan_tpu.gen.artifacts import monitor_current_result
+    from lcgan_tpu.train.loop import build_trainer, load_or_init_state
+
+    cfg = parse_config(_tiny_args(tiny_run, "train"))
+    cfg.base_nf = 8
+    cfg.max_nf = 16
+    cfg.mbstd_group_size = 2
+    cfg.make_run_dirs()
+    trainer = build_trainer(cfg)
+    state, _, _ = load_or_init_state(cfg, trainer)
+    monitor_current_result(
+        cfg, trainer, state, epoch=7, num_explore=2, num_clips=1, images_per_output=8, nrow=4
+    )
+    samples = os.listdir(os.path.join(str(tiny_run / "run"), "samples"))
+    assert any(f.startswith("geometry_7_0") for f in samples)
+    assert any(f.startswith("appearance_7_0") for f in samples)
+
+
+@pytest.mark.slow
+def test_video_generation_phase(tiny_run):
+    from lcgan_tpu.train.loop import run_phase
+
+    cfg = parse_config(_tiny_args(tiny_run, "train"))
+    cfg.base_nf = 8
+    cfg.max_nf = 16
+    cfg.mbstd_group_size = 2
+    run_phase(cfg)
+
+    cfg_v = parse_config(
+        _tiny_args(tiny_run, "video_generation") + ["--ctrl_dim", "0", "--num_videos", "1"]
+    )
+    cfg_v.base_nf = 8
+    cfg_v.max_nf = 16
+    cfg_v.mbstd_group_size = 2
+    run_phase(cfg_v)
+    demo = os.listdir(os.path.join(str(tiny_run / "run"), "demo"))
+    assert any(f.startswith("controlled_dim=0_0") for f in demo)

@@ -1,0 +1,116 @@
+"""Bicubic grid-sample parity vs torch F.grid_sample (custom_layers.py:165).
+
+This op gates FID parity (it sits inside every synthesis block), so it is
+tested against torch for values, out-of-bounds handling, and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from lcgan_tpu.ops.grid_sample import (
+    grid_sample_bicubic,
+    grid_sample_bicubic_patch,
+    identity_like_coordinates,
+)
+
+
+def test_patch_formulation_matches_flat_gather(rng):
+    """The TPU-optimized patch-gather version == the 16-gather oracle,
+    including far-out-of-bounds sample points."""
+    b, h, w, c = 2, 8, 10, 3
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = rng.uniform(-1.8, 1.8, (b, 6, 7, 2)).astype(np.float32)
+    a = grid_sample_bicubic(jnp.asarray(x), jnp.asarray(grid))
+    bv = grid_sample_bicubic_patch(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bv), rtol=1e-4, atol=1e-5)
+
+
+def test_patch_formulation_matches_torch(rng):
+    b, h, w, c = 2, 9, 9, 4
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = rng.uniform(-1.2, 1.2, (b, h, w, 2)).astype(np.float32)
+    y = grid_sample_bicubic_patch(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(y), _torch_ref(x, grid), rtol=1e-4, atol=1e-5)
+
+
+def test_patch_formulation_gradients(rng):
+    b, h, w, c = 1, 6, 6, 2
+    x = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
+    grid = jnp.asarray(rng.uniform(-0.8, 0.8, (b, h, w, 2)).astype(np.float32))
+
+    def loss(xx, gg):
+        return jnp.sum(jnp.square(grid_sample_bicubic_patch(xx, gg)))
+
+    gx1, gg1 = jax.grad(loss, argnums=(0, 1))(x, grid)
+
+    def loss_ref(xx, gg):
+        return jnp.sum(jnp.square(grid_sample_bicubic(xx, gg)))
+
+    gx2, gg2 = jax.grad(loss_ref, argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2), rtol=1e-3, atol=1e-4)
+
+
+def _torch_ref(x_nhwc, grid):
+    xt = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy())
+    gt = torch.from_numpy(grid.copy())
+    y = F.grid_sample(xt, gt, mode="bicubic", padding_mode="zeros", align_corners=False)
+    return y.numpy().transpose(0, 2, 3, 1)
+
+
+def test_grid_sample_bicubic_matches_torch_inbounds(rng):
+    b, h, w, c = 2, 10, 12, 3
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = rng.uniform(-0.7, 0.7, (b, h, w, 2)).astype(np.float32)
+    y = grid_sample_bicubic(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(y), _torch_ref(x, grid), rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_bicubic_matches_torch_outofbounds(rng):
+    b, h, w, c = 2, 8, 8, 2
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = rng.uniform(-1.6, 1.6, (b, h, w, 2)).astype(np.float32)  # many OOB taps
+    y = grid_sample_bicubic(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(y), _torch_ref(x, grid), rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_warp_path_like_synthesis_block(rng):
+    """The exact usage pattern: align_corners=True-style coords + small flow."""
+    b, h, w, c = 2, 16, 16, 4
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    flow = np.tanh(rng.standard_normal((b, h, w, 2), dtype=np.float32)) * 0.1
+    coords = np.asarray(identity_like_coordinates(b, h, w))
+    grid = (coords + flow).astype(np.float32)
+    y = grid_sample_bicubic(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(y), _torch_ref(x, grid), rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_gradients_match_torch(rng):
+    b, h, w, c = 1, 6, 6, 2
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = rng.uniform(-0.8, 0.8, (b, h, w, 2)).astype(np.float32)
+
+    def loss_j(xx, gg):
+        return jnp.sum(jnp.square(grid_sample_bicubic(xx, gg)))
+
+    gx, gg = jax.grad(loss_j, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy()).requires_grad_(True)
+    gt = torch.from_numpy(grid.copy()).requires_grad_(True)
+    y = F.grid_sample(xt, gt, mode="bicubic", padding_mode="zeros", align_corners=False)
+    y.square().sum().backward()
+    np.testing.assert_allclose(
+        np.asarray(gx), xt.grad.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(gg), gt.grad.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_identity_like_coordinates_layout():
+    coords = np.asarray(identity_like_coordinates(1, 4, 6))
+    assert coords.shape == (1, 4, 6, 2)
+    # channel 0 is x (varies along width), normalized by (size-1)
+    np.testing.assert_allclose(coords[0, 0, :, 0], np.linspace(-1, 1, 6), atol=1e-6)
+    np.testing.assert_allclose(coords[0, :, 0, 1], np.linspace(-1, 1, 4), atol=1e-6)

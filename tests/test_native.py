@@ -1,0 +1,76 @@
+"""Native C++ loader tests (decode + Lanczos resize + triple augmentation).
+
+Skipped when the toolchain/libjpeg/libpng are unavailable — the Python/cv2
+pipeline covers the same contract (test_data.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lcgan_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native loader not buildable")
+
+
+@pytest.fixture
+def png_path(tmp_path, rng):
+    p = tmp_path / "img.png"
+    Image.fromarray(rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)).save(p)
+    return str(p)
+
+
+@pytest.fixture
+def jpg_path(tmp_path, rng):
+    p = tmp_path / "img.jpg"
+    Image.fromarray(rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)).save(p, quality=95)
+    return str(p)
+
+
+def test_triple_shapes_and_determinism(png_path):
+    a = native.load_triple(png_path, 32, 777)
+    b = native.load_triple(png_path, 32, 777)
+    for x, y in zip(a, b):
+        assert x.shape == (32, 32, 3) and x.dtype == np.uint8
+        np.testing.assert_array_equal(x, y)
+    # different seed -> different augmentation
+    c = native.load_triple(png_path, 32, 778)
+    assert not np.array_equal(a[1], c[1]) or not np.array_equal(a[2], c[2])
+
+
+def test_jpeg_and_png_decode_match_pil(jpg_path, png_path):
+    for p in (jpg_path, png_path):
+        ours = native.load_image(p, 32)
+        pil = np.asarray(Image.open(p).convert("RGB").resize((32, 32), Image.LANCZOS))
+        # same kernel family; implementations differ in edge handling by <= a few LSB
+        assert ours.shape == pil.shape
+        diff = np.abs(ours.astype(int) - pil.astype(int))
+        assert np.mean(diff) < 3.0
+        assert np.percentile(diff, 99) <= 12
+
+
+def test_identity_size_passthrough(tmp_path, rng):
+    arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "exact.png"
+    Image.fromarray(arr).save(p)
+    out = native.load_image(str(p), 32)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_batch_parallel_matches_serial(png_path, jpg_path):
+    paths = [png_path, jpg_path, png_path, jpg_path]
+    seeds = [1, 2, 3, 4]
+    img, geo, app, failures = native.load_batch(paths, 32, seeds, num_threads=3)
+    assert failures == 0
+    for i, (p, s) in enumerate(zip(paths, seeds)):
+        si, sg, sa = native.load_triple(p, 32, s)
+        np.testing.assert_array_equal(img[i], si)
+        np.testing.assert_array_equal(geo[i], sg)
+        np.testing.assert_array_equal(app[i], sa)
+
+
+def test_bad_path_reports_failure(tmp_path):
+    img, geo, app, failures = native.load_batch([str(tmp_path / "missing.jpg")], 16, [0])
+    assert failures == 1

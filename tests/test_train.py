@@ -1,0 +1,148 @@
+"""Train-step tests: schedule variants, EMA, freezeD, DP equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcgan_tpu.config import Config
+from lcgan_tpu.parallel import make_mesh
+from lcgan_tpu.train.ema import ema_update
+from lcgan_tpu.train.freeze import apply_mask, freeze_mask
+from lcgan_tpu.train.state import create_train_state
+from lcgan_tpu.train.steps import Trainer
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        model_name="/tmp/lcgan_test_run",
+        img_resolution=16,
+        batch_size=4,
+        geo_noise_dim=8,
+        app_noise_dim=8,
+        geo_latent_dim=8,
+        app_latent_dim=16,
+        geo_projection_dim=8,
+        app_projection_dim=8,
+        base_nf=8,
+        max_nf=16,
+        mbstd_group_size=2,
+        compute_dtype="float32",
+        freezeD_start=100000,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def fake_batch(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.uniform(-1, 1, (b, cfg.img_resolution, cfg.img_resolution, 3)).astype(np.float32)
+    )
+    return {"image": mk(), "geometry_change": mk(), "appearance_change": mk()}
+
+
+def test_ema_update_semantics():
+    p = {"w": jnp.ones((3,)) * 2.0}
+    e = {"w": jnp.zeros((3,))}
+    # decay 0.9: new = (1-d)*p + d*ema = 0.2
+    new_p, _ = ema_update(p, {}, e, {}, jnp.asarray(10), 0.9, 0)
+    np.testing.assert_allclose(np.asarray(new_p["w"]), 0.2, rtol=1e-6)
+    # before start_iter: copy
+    new_p, _ = ema_update(p, {}, e, {}, jnp.asarray(3), 0.9, 5)
+    np.testing.assert_allclose(np.asarray(new_p["w"]), 2.0, rtol=1e-6)
+
+
+def test_freeze_mask_covers_from_rgb_and_blocks():
+    cfg = tiny_cfg()
+    state = create_train_state(cfg)
+    mask = freeze_mask(state.d_params, 1)
+    assert all(jax.tree.leaves(mask["from_rgb"]))
+    assert all(jax.tree.leaves(mask["block_0"]))
+    assert not any(jax.tree.leaves(mask["block_1"]))
+    assert not any(jax.tree.leaves(mask["discriminator_epilogue"]))
+    zeroed = apply_mask(state.d_params, mask)
+    assert float(jnp.sum(jnp.abs(zeroed["from_rgb"]["weight"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(zeroed["block_1"]["conv0"]["weight"]))) > 0
+
+
+@pytest.mark.parametrize("epoch", [0, 1, 2])  # even+aux, odd+r1, even
+def test_single_device_train_iteration(epoch):
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, mesh=None)
+    state = trainer.init_state()
+    batch = fake_batch(cfg, cfg.batch_size)
+    # snapshot before the call: the step donates the input state's buffers
+    g_before = jax.tree.map(lambda x: np.array(x), state.g_params)
+    new_state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+    assert int(new_state.step) == 1
+    # params actually moved
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(np.asarray(a) - b))), new_state.g_params, g_before
+        ),
+    )
+    assert delta > 0
+
+
+def test_freezed_variant_keeps_frozen_params():
+    cfg = tiny_cfg(freezeD_start=0, freezeD_layer=1)
+    trainer = Trainer(cfg, mesh=None)
+    state = trainer.init_state()
+    batch = fake_batch(cfg, cfg.batch_size)
+    d_before = jax.tree.map(lambda x: np.array(x), state.d_params)
+    new_state, _, _ = trainer.train_iteration(state, batch, 1)
+    # frozen: from_rgb and block_0 unchanged; block_1 moved
+    same = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(np.asarray(a) - b))),
+        new_state.d_params["from_rgb"],
+        d_before["from_rgb"],
+    )
+    assert max(jax.tree.leaves(same)) == 0.0
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(np.asarray(a) - b))),
+        new_state.d_params["block_1"],
+        d_before["block_1"],
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_w_avg_updates_during_training():
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, mesh=None)
+    state = trainer.init_state()
+    batch = fake_batch(cfg, cfg.batch_size)
+    new_state, _, _ = trainer.train_iteration(state, batch, 0)
+    assert float(jnp.sum(jnp.abs(new_state.g_stats["avg_latent1"]))) > 0
+    # EMA stats track the (lerped) stats
+    assert new_state.ema_stats["avg_latent1"].shape == (cfg.geo_latent_dim,)
+
+
+def test_data_parallel_iteration_runs_on_fake_mesh():
+    """8 fake CPU devices: shard_map DP step executes and syncs (SURVEY.md §4)."""
+    cfg = tiny_cfg(batch_size=8, mbstd_group_size=1)
+    mesh = make_mesh()
+    assert mesh.size == 8
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state()
+    batch = fake_batch(cfg, cfg.batch_size)
+    new_state, g_loss, d_loss = trainer.train_iteration(state, batch, 0)
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+    # all-device params remain replicated after the step
+    leaf = new_state.g_params["const"]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_generate_uses_ema_and_truncation():
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, mesh=None)
+    state = trainer.init_state()
+    z1 = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.geo_noise_dim))
+    z2 = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.app_noise_dim))
+    img = trainer.generate(state, z1, z2, w_psi=1.0)
+    assert img.shape == (2, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
