@@ -31,12 +31,13 @@ def main():
     from lcgan_tpu.train.steps import Trainer
 
     n_chips = jax.device_count()
-    # Per-chip batch 16 — 2x the reference's per-GPU batch (global 32 over
-    # 4 H100s, README.md:47-49); 32/chip exceeds a v5e's 16G HBM at 256².
+    # Per-chip batch 8 — the reference's per-GPU batch (global 32 over
+    # 4 H100s, README.md:47-49). 16/chip is ~85M over a v5e's 16G HBM on
+    # the even-iteration variant (3 G + 6 D applications live).
     cfg = Config(
         model_name="/tmp/lcgan_bench",
         img_resolution=256,
-        batch_size=16 * n_chips,
+        batch_size=8 * n_chips,
         compute_dtype="bfloat16",
         remat_blocks=True,
         freezeD_start=10**9,
@@ -55,16 +56,19 @@ def main():
     )
     batch = {"image": mk(), "geometry_change": mk(), "appearance_change": mk()}
 
-    # warmup: compile all three schedule variants
+    # warmup: compile all three schedule variants. NOTE: on the experimental
+    # axon platform block_until_ready can return before execution finishes;
+    # materializing a loss VALUE is the only reliable barrier.
     for epoch in range(0, 10):
         state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
-    jax.block_until_ready(state)
+    float(g_loss)
 
-    iters = 24
+    iters = 16
     t0 = time.perf_counter()
     for epoch in range(8, 8 + iters):
         state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
-    jax.block_until_ready(state)
+    # the last loss transitively depends on every prior step's state
+    float(g_loss), float(d_loss)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = cfg.batch_size * iters / dt

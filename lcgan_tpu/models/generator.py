@@ -32,7 +32,11 @@ from flax import linen as nn
 
 from lcgan_tpu.ops.equalized import EqualizedConv2d
 from lcgan_tpu.ops.filters import box_filter_3x3, leaky_relu, nearest_upsample_2x
-from lcgan_tpu.ops.grid_sample import grid_sample_bicubic, identity_like_coordinates
+from lcgan_tpu.ops.grid_sample import (
+    grid_sample_bicubic_banded,
+    identity_like_coordinates,
+    max_warp_displacement,
+)
 from lcgan_tpu.ops.mapping import MappingNetwork
 from lcgan_tpu.ops.modulated import SynthesisLayer
 
@@ -86,11 +90,14 @@ class SynthesisBlock(nn.Module):
         y = leaky_relu(y, 0.2)
         y = skip + y
 
-        # feature warping (custom_layers.py:162-165)
+        # feature warping (custom_layers.py:162-165). The tanh-bounded flow
+        # makes the warp displacement-bounded, so the banded MXU formulation
+        # applies (gather-free; see ops/grid_sample.py).
         b, h, w, _ = y.shape
         coords = identity_like_coordinates(b, h, w)
         correspondence = coords + flow * self.max_flow_scale
-        return grid_sample_bicubic(y, correspondence).astype(self.dtype)
+        max_disp = max_warp_displacement(h, self.max_flow_scale)
+        return grid_sample_bicubic_banded(y, correspondence, max_disp).astype(self.dtype)
 
 
 class ToRGBBlock(nn.Module):
@@ -213,7 +220,8 @@ class Generator(nn.Module):
                 name=f"block_{i}",
             )(x, geometry_code, a_pair)
 
-        out = ToRGBBlock(
+        rgb_cls = nn.remat(ToRGBBlock) if self.remat else ToRGBBlock
+        out = rgb_cls(
             features=self.img_ch, a_latent_dim=self.app_latent_dim, dtype=self.dtype, name="rgb_layer"
         )(x, a_pair)
         return out

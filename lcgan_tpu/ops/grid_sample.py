@@ -100,6 +100,91 @@ def grid_sample_bicubic_patch(x: jax.Array, grid: jax.Array) -> jax.Array:
     return out.reshape(bg, hg, wg, c).astype(x.dtype)
 
 
+def grid_sample_bicubic_banded(x: jax.Array, grid: jax.Array, max_disp: int) -> jax.Array:
+    """Bicubic warp for displacement-bounded grids, as MXU matmuls.
+
+    TPU gathers/scatters are catastrophically slow for this op (measured
+    ~240 ms fwd / ~500 ms bwd per synthesis-block warp at 256²·128ch on a
+    v5e, vs ~6 ms for the block's conv). LC-GAN's warp is displacement-
+    bounded: the sample position differs from the output position by at
+    most ``max_disp`` pixels (tanh-bounded flow × max_flow_scale plus the
+    align_corners mismatch, custom_layers.py:149-165). That turns the warp
+    into a *banded* linear operator, evaluated densely on the MXU:
+
+        out[l, c] = Σ_j Ay[l, j] · ( Σ_s Ax[l, s] · X[j, s, c] )
+
+    where j runs over the 2M+1 y-band, s over a per-tile x-window, and
+    Ay/Ax are the cubic kernel evaluated at ALL band positions — K(t) = 0
+    outside |t| < 2 makes the dense evaluation exact. The inner contraction
+    is a batched (TL × S) @ (S × C) matmul per band row; its transpose
+    (the backward) is the same matmuls again — no scatter anywhere, and
+    jax autodiff handles it.
+
+    Zeros padding falls out of padding x with M zeros per side: out-of-
+    frame taps multiply stored zeros. Identical results to
+    :func:`grid_sample_bicubic` (same kernel, same unnormalization) for
+    grids satisfying the displacement bound; ~10× cheaper fwd+bwd on TPU
+    despite doing ~30× the FLOPs of a sparse gather — MXU beats gather.
+    """
+    b, h, w, c = x.shape
+    m = int(max_disp)
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    fx = ((gx + 1.0) * w - 1.0) * 0.5  # (B,H,W) absolute sample cols
+    fy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    interp_dtype = jnp.float32 if x.dtype in (jnp.float32, jnp.float64) else x.dtype
+    prec = jax.lax.Precision.HIGHEST if interp_dtype == jnp.float32 else None
+
+    # pad so every band/window index is in range; padded zeros implement
+    # padding_mode='zeros' exactly (their contributions vanish).
+    xp = jnp.pad(x.astype(interp_dtype), ((0, 0), (m, m), (m, m), (0, 0)))
+    band = 2 * m + 1
+
+    # x-direction tiling: TL output cols per tile, window S = TL + 2M
+    tl = min(128, w)
+    num_tiles = (w + tl - 1) // tl
+    s_win = tl + 2 * m
+
+    # Ay[b,h,l,j]: cubic weight of band row j (absolute row h-M+j) at (h,l)
+    j_off = jnp.arange(band, dtype=jnp.float32) - m  # [-M..M]
+    row_pos = jnp.arange(h, dtype=jnp.float32)[:, None, None] + j_off[None, None, :]
+    ay = _kernel_at(fy[..., None] - row_pos[None]).astype(interp_dtype)  # (B,H,W,band)
+
+    # Ax per tile: weight of window col s (absolute col t*TL - M + s) at (h,l)
+    out = jnp.zeros((b, h, w, c), interp_dtype)
+    for t in range(num_tiles):
+        l0 = t * tl
+        l1 = min(l0 + tl, w)
+        cols = jnp.arange(s_win, dtype=jnp.float32) + (l0 - m)
+        axw = _kernel_at(fx[:, :, l0:l1, None] - cols[None, None, None, :])
+        axw = axw.astype(interp_dtype)  # (B,H,TLt,S)
+
+        # Unrolled band loop with STATIC slices: each step is one batched
+        # (TL×S)@(S×C) matmul plus an elementwise band-weight multiply.
+        # (A lax.scan here is tidier but its transpose crashes the TPU
+        # compile helper; unrolling keeps the autodiff graph plain matmuls.)
+        acc = jnp.zeros((b, h, l1 - l0, c), interp_dtype)
+        for jo in range(band):
+            # rows h-M+jo of x == rows h+jo of xp; cols [l0..l0+S) of xp
+            xjs = jax.lax.slice(xp, (0, jo, l0, 0), (b, jo + h, l0 + s_win, c))
+            z = jnp.einsum("bhls,bhsc->bhlc", axw, xjs, precision=prec)
+            acc = acc + ay[:, :, l0:l1, jo][..., None] * z
+        out = out.at[:, :, l0:l1, :].set(acc)
+    return out.astype(x.dtype)
+
+
+def max_warp_displacement(size: int, max_flow_scale: float) -> int:
+    """Static displacement bound for the synthesis-block warp.
+
+    |sample_pos - out_pos| <= align_corners mismatch (0.5) + tanh-bounded
+    flow (max_flow_scale · size/2), plus the 2-tap cubic support.
+    """
+    import math
+
+    return int(math.ceil(0.5 + max_flow_scale * size / 2.0 + 2.0))
+
+
 def grid_sample_bicubic(x: jax.Array, grid: jax.Array) -> jax.Array:
     """Sample ``x`` (B,H,W,C) at ``grid`` (B,Hg,Wg,2) [x,y in [-1,1]].
 

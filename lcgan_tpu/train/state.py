@@ -60,10 +60,40 @@ def build_models(cfg: Config):
     return generator, discriminator
 
 
+def _adam_no_mu(learning_rate: float, b2: float, eps: float):
+    """Adam with beta1 == 0: the first moment IS the gradient (m = (1-0)·g,
+    bias correction 1/(1-0^t) = 1), so storing mu wastes a full param-sized
+    buffer. Identical update to optax.adam(b1=0): g / (sqrt(v̂) + eps)."""
+
+    def init(params):
+        return {
+            "v": jax.tree.map(jnp.zeros_like, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+        v = jax.tree.map(
+            lambda vv, g: b2 * vv + (1.0 - b2) * jnp.square(g), state["v"], grads
+        )
+        correction = 1.0 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree.map(
+            lambda g, vv: -learning_rate * g / (jnp.sqrt(vv / correction) + eps), grads, v
+        )
+        return updates, {"v": v, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizers(cfg: Config):
     # Adam (beta1=0.0, beta2=0.99, eps=1e-8), worker.py:98-110
-    g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
-    d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+    if cfg.beta1 == 0.0:
+        g_tx = _adam_no_mu(cfg.g_lr, cfg.beta2, cfg.adam_eps)
+        d_tx = _adam_no_mu(cfg.d_lr, cfg.beta2, cfg.adam_eps)
+    else:
+        g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+        d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
     return g_tx, d_tx
 
 

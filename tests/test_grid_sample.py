@@ -12,9 +12,64 @@ import torch.nn.functional as F
 
 from lcgan_tpu.ops.grid_sample import (
     grid_sample_bicubic,
+    grid_sample_bicubic_banded,
     grid_sample_bicubic_patch,
     identity_like_coordinates,
+    max_warp_displacement,
 )
+
+
+def _bounded_grid(rng, b, h, w, scale=0.1):
+    """The synthesis-block grid family: (size-1)-normalized identity + tanh flow."""
+    coords = np.asarray(identity_like_coordinates(b, h, w))
+    flow = np.tanh(rng.standard_normal((b, h, w, 2), dtype=np.float32)) * scale
+    return (coords + flow).astype(np.float32)
+
+
+def test_banded_matches_flat_on_block_grids(rng):
+    """The MXU-banded warp == the gather oracle on displacement-bounded
+    grids (the only grids the model produces)."""
+    b, h, w, c = 2, 16, 16, 5
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = _bounded_grid(rng, b, h, w)
+    md = max_warp_displacement(h, 0.1)
+    a = grid_sample_bicubic(jnp.asarray(x), jnp.asarray(grid))
+    bv = grid_sample_bicubic_banded(jnp.asarray(x), jnp.asarray(grid), md)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bv), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_matches_torch(rng):
+    b, h, w, c = 2, 12, 20, 3  # non-square, W > TL boundary not hit but shape-general
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = _bounded_grid(rng, b, h, w)
+    md = max_warp_displacement(max(h, w), 0.1)
+    y = grid_sample_bicubic_banded(jnp.asarray(x), jnp.asarray(grid), md)
+    np.testing.assert_allclose(np.asarray(y), _torch_ref(x, grid), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_multi_tile(rng):
+    """W > 128 exercises the x-tiling path."""
+    b, h, w, c = 1, 8, 256, 2
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    grid = _bounded_grid(rng, b, h, w, scale=0.05)
+    md = max_warp_displacement(w, 0.05)
+    y = grid_sample_bicubic_banded(jnp.asarray(x), jnp.asarray(grid), md)
+    ref = grid_sample_bicubic(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_gradients_match_flat(rng):
+    b, h, w, c = 1, 10, 10, 3
+    x = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
+    grid = jnp.asarray(_bounded_grid(rng, b, h, w))
+    md = max_warp_displacement(h, 0.1)
+
+    g1 = jax.grad(lambda xx, gg: jnp.sum(jnp.square(grid_sample_bicubic_banded(xx, gg, md))),
+                  argnums=(0, 1))(x, grid)
+    g2 = jax.grad(lambda xx, gg: jnp.sum(jnp.square(grid_sample_bicubic(xx, gg))),
+                  argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-3, atol=1e-4)
 
 
 def test_patch_formulation_matches_flat_gather(rng):

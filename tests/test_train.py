@@ -42,6 +42,26 @@ def fake_batch(cfg, b, seed=0):
     return {"image": mk(), "geometry_change": mk(), "appearance_change": mk()}
 
 
+def test_adam_no_mu_matches_optax_adam():
+    """The mu-free Adam (beta1=0) must match optax.adam(b1=0) exactly."""
+    import optax
+
+    from lcgan_tpu.train.state import _adam_no_mu
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal((4, 3)), jnp.float32)}
+    ours = _adam_no_mu(0.002, 0.99, 1e-8)
+    ref = optax.adam(0.002, b1=0.0, b2=0.99, eps=1e-8)
+    s1, s2 = ours.init(params), ref.init(params)
+    p1 = p2 = params
+    for step in range(5):
+        g = {"w": jnp.asarray(np.random.default_rng(step + 1).standard_normal((4, 3)), jnp.float32)}
+        u1, s1 = ours.update(g, s1, p1)
+        u2, s2 = ref.update(g, s2, p2)
+        p1 = optax.apply_updates(p1, u1)
+        p2 = optax.apply_updates(p2, u2)
+        np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p2["w"]), rtol=1e-6, atol=1e-7)
+
+
 def test_ema_update_semantics():
     p = {"w": jnp.ones((3,)) * 2.0}
     e = {"w": jnp.zeros((3,))}
