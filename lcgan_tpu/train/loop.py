@@ -134,6 +134,19 @@ def run_phase(cfg: Config):
             # fixes the reference's os.path.join(..., 'fid.txt', 'w') bug (loader.py:91)
             with open(os.path.join(cfg.model_name, "fid.txt"), "w") as f:
                 f.write(f"FID:{fid_value} \n")
+            # best-FID checkpoint: the reference defines save_best_model /
+            # best_fid but never invokes them (worker.py:229,42; SURVEY §5) —
+            # here a new best FID snapshots the state for --best loading.
+            best_path = os.path.join(cfg.model_name, "best_fid.txt")
+            best = float("inf")
+            if os.path.exists(best_path):
+                with open(best_path) as f:
+                    best = float(f.read().strip())
+            if fid_value < best:
+                print("save best model")
+                ckpt.save(state, best=True)
+                with open(best_path, "w") as f:
+                    f.write(str(fid_value))
         return fid_value
 
     if cfg.phase == "fake_image_generation":

@@ -93,6 +93,35 @@ def test_train_then_generate(tiny_run, monkeypatch):
 
 
 @pytest.mark.slow
+def test_fid_eval_saves_best_checkpoint(tiny_run):
+    from lcgan_tpu.train.loop import run_phase
+
+    cfg = parse_config(_tiny_args(tiny_run, "train"))
+    cfg.base_nf = 8
+    cfg.max_nf = 16
+    cfg.mbstd_group_size = 2
+    run_phase(cfg)
+
+    cfg_f = parse_config(_tiny_args(tiny_run, "fid_eval"))
+    cfg_f.base_nf = 8
+    cfg_f.max_nf = 16
+    cfg_f.mbstd_group_size = 2
+    fid1 = run_phase(cfg_f)
+    run_dir = str(tiny_run / "run")
+    assert os.path.exists(os.path.join(run_dir, "fid.txt"))
+    assert os.path.exists(os.path.join(run_dir, "best_fid.txt"))
+    assert os.path.isdir(os.path.join(run_dir, "model", "state_best"))
+    with open(os.path.join(run_dir, "best_fid.txt")) as f:
+        assert abs(float(f.read()) - fid1) < 1e-6
+    # --best loads the best snapshot without error
+    cfg_b = parse_config(_tiny_args(tiny_run, "fake_image_generation") + ["--best"])
+    cfg_b.base_nf = 8
+    cfg_b.max_nf = 16
+    cfg_b.mbstd_group_size = 2
+    run_phase(cfg_b)
+
+
+@pytest.mark.slow
 def test_monitor_renders_sweep_videos(tiny_run):
     from lcgan_tpu.gen.artifacts import monitor_current_result
     from lcgan_tpu.train.loop import build_trainer, load_or_init_state

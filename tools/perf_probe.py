@@ -20,14 +20,19 @@ from lcgan_tpu.config import Config
 from lcgan_tpu.train.steps import Trainer
 
 
+def _materialize(out):
+    # axon's block_until_ready can return early; a value read cannot lie
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def time_pipelined(fn, n=16):
-    fn()  # warm
-    jax.effects_barrier()
+    _materialize(fn())  # warm + true barrier
     t0 = time.perf_counter()
     out = None
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - t0) / n
 
 
