@@ -160,16 +160,22 @@ def grid_sample_bicubic_banded(x: jax.Array, grid: jax.Array, max_disp: int) -> 
         axw = _kernel_at(fx[:, :, l0:l1, None] - cols[None, None, None, :])
         axw = axw.astype(interp_dtype)  # (B,H,TLt,S)
 
-        # Unrolled band loop with STATIC slices: each step is one batched
-        # (TL×S)@(S×C) matmul plus an elementwise band-weight multiply.
-        # (A lax.scan here is tidier but its transpose crashes the TPU
-        # compile helper; unrolling keeps the autodiff graph plain matmuls.)
-        acc = jnp.zeros((b, h, l1 - l0, c), interp_dtype)
-        for jo in range(band):
+        # lax.scan over the band keeps the graph size independent of M
+        # (unrolling 2M+1 einsums per tile per block blows up compilation at
+        # 512²+). jax.checkpoint on the body stops scan-AD from saving a
+        # full-map slice per step (band × feature-map residuals OOM the
+        # compile otherwise); the backward recomputes the slice + matmul.
+        ayt = ay[:, :, l0:l1]
+
+        @jax.checkpoint
+        def band_step(acc, jo):
             # rows h-M+jo of x == rows h+jo of xp; cols [l0..l0+S) of xp
-            xjs = jax.lax.slice(xp, (0, jo, l0, 0), (b, jo + h, l0 + s_win, c))
+            xjs = jax.lax.dynamic_slice(xp, (0, jo, l0, 0), (b, h, s_win, c))
             z = jnp.einsum("bhls,bhsc->bhlc", axw, xjs, precision=prec)
-            acc = acc + ay[:, :, l0:l1, jo][..., None] * z
+            return acc + ayt[..., jo][..., None] * z, None
+
+        acc = jnp.zeros((b, h, l1 - l0, c), interp_dtype)
+        acc, _ = jax.lax.scan(band_step, acc, jnp.arange(band))
         out = out.at[:, :, l0:l1, :].set(acc)
     return out.astype(x.dtype)
 
