@@ -101,6 +101,15 @@ def main(argv=None):
         except RuntimeError:
             pass  # backend already initialized
 
+    # Persistent compilation cache: the 256²+ train-step variants take
+    # minutes to compile — restarts and resumes shouldn't pay twice.
+    cache_dir = os.environ.get("LCGAN_JAX_CACHE", os.path.expanduser("~/.cache/lcgan_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except RuntimeError:
+        pass
+
     # multi-host TPU slices: initialize the distributed runtime when a
     # coordinator is configured (single-host runs skip this)
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):

@@ -146,10 +146,9 @@ def grid_sample_bicubic_banded(x: jax.Array, grid: jax.Array, max_disp: int) -> 
     num_tiles = (w + tl - 1) // tl
     s_win = tl + 2 * m
 
-    # Ay[b,h,l,j]: cubic weight of band row j (absolute row h-M+j) at (h,l)
-    j_off = jnp.arange(band, dtype=jnp.float32) - m  # [-M..M]
-    row_pos = jnp.arange(h, dtype=jnp.float32)[:, None, None] + j_off[None, None, :]
-    ay = _kernel_at(fy[..., None] - row_pos[None]).astype(interp_dtype)  # (B,H,W,band)
+    # y-band weights are computed per scan step from fy (materializing the
+    # full (B,H,W,band) tensor costs 457M at 1024² — it OOMs the step)
+    row_idx = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # (1,H,1)
 
     # Ax per tile: weight of window col s (absolute col t*TL - M + s) at (h,l)
     out = jnp.zeros((b, h, w, c), interp_dtype)
@@ -165,14 +164,16 @@ def grid_sample_bicubic_banded(x: jax.Array, grid: jax.Array, max_disp: int) -> 
         # 512²+). jax.checkpoint on the body stops scan-AD from saving a
         # full-map slice per step (band × feature-map residuals OOM the
         # compile otherwise); the backward recomputes the slice + matmul.
-        ayt = ay[:, :, l0:l1]
+        fy_t = fy[:, :, l0:l1]
 
         @jax.checkpoint
         def band_step(acc, jo):
             # rows h-M+jo of x == rows h+jo of xp; cols [l0..l0+S) of xp
             xjs = jax.lax.dynamic_slice(xp, (0, jo, l0, 0), (b, h, s_win, c))
             z = jnp.einsum("bhls,bhsc->bhlc", axw, xjs, precision=prec)
-            return acc + ayt[..., jo][..., None] * z, None
+            # cubic weight of band row jo (absolute row h - M + jo) at (h,l)
+            ayj = _kernel_at(fy_t - (row_idx + jo.astype(jnp.float32) - m))
+            return acc + ayj.astype(interp_dtype)[..., None] * z, None
 
         acc = jnp.zeros((b, h, l1 - l0, c), interp_dtype)
         acc, _ = jax.lax.scan(band_step, acc, jnp.arange(band))

@@ -49,6 +49,43 @@ def test_inception_feature_shape():
     assert bool(jnp.all(jnp.isfinite(feats)))
 
 
+def test_bn_folding_matches_batchnorm_inference(rng):
+    """Folded scale/bias == conv→BN(eval) for the FID Inception conversion."""
+    import torch.nn as nn
+
+    from lcgan_tpu.eval.convert import _fold_basic_conv
+
+    conv = nn.Conv2d(3, 8, 3, bias=False)
+    bn = nn.BatchNorm2d(8, eps=1e-3)
+    bn.weight.data = torch.from_numpy(rng.standard_normal(8, dtype=np.float32))
+    bn.bias.data = torch.from_numpy(rng.standard_normal(8, dtype=np.float32))
+    bn.running_mean.data = torch.from_numpy(rng.standard_normal(8, dtype=np.float32))
+    bn.running_var.data = torch.from_numpy(rng.random(8, dtype=np.float32) + 0.5)
+    bn.eval()
+
+    sd = {
+        "m.conv.weight": conv.weight.detach(),
+        "m.bn.weight": bn.weight.detach(),
+        "m.bn.bias": bn.bias.detach(),
+        "m.bn.running_mean": bn.running_mean.detach(),
+        "m.bn.running_var": bn.running_var.detach(),
+    }
+    folded = _fold_basic_conv(sd, "m")
+
+    x = torch.from_numpy(rng.standard_normal((2, 3, 8, 8), dtype=np.float32))
+    ref = bn(conv(x)).detach().numpy()
+
+    w = jnp.asarray(folded["weight"])  # HWIO
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), w, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=jax.lax.Precision.HIGHEST,
+    )
+    y = y * folded["bn_scale"] + folded["bn_bias"]
+    np.testing.assert_allclose(
+        np.asarray(y).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_convert_npz_roundtrip(tmp_path):
     from lcgan_tpu.eval.convert import load_params_npz, save_params_npz
 
