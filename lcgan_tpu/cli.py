@@ -20,53 +20,83 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
 
     p.add_argument("--phase", type=str, default="train",
-                   help="train, fid_eval, fake_image_generation, or video_generation")
-    p.add_argument("--best", default=False, action="store_true", help="Load the best model")
+                   help="one of: train | fid_eval | fake_image_generation | video_generation")
+    p.add_argument("--best", default=False, action="store_true",
+                   help="restore the best-FID snapshot instead of the latest")
 
-    p.add_argument("--tau", type=float, default=0.05, help="The margin of contrastive loss")
-    p.add_argument("--l_adv", type=float, default=1.0, help="The weight of adversarial loss")
-    p.add_argument("--l_aux", type=float, default=0.5, help="The weight of loss in auxiliary mapping")
-    p.add_argument("--l_r1", type=float, default=10.0, help="The weight r1 regularization")
-    p.add_argument("--l_s", type=float, default=0.0000001, help="The weight of sparsity regularization")
+    p.add_argument("--tau", type=float, default=0.05,
+                   help="temperature of the InfoNCE contrastive term")
+    p.add_argument("--l_adv", type=float, default=1.0,
+                   help="adversarial-loss weight (parsed but unused, as in the reference)")
+    p.add_argument("--l_aux", type=float, default=0.5,
+                   help="contrastive (auxiliary) loss weight")
+    p.add_argument("--l_r1", type=float, default=10.0,
+                   help="R1 gradient-penalty weight")
+    p.add_argument("--l_s", type=float, default=0.0000001,
+                   help="L1 sparsity weight on the mapping nets' diagonal factors")
 
-    p.add_argument("--max_flow_scale", type=float, default=0.1, help="maximum flow scale")
-    p.add_argument("--geo_noise_dim", type=int, default=64, help="length of noise dimension")
-    p.add_argument("--app_noise_dim", type=int, default=64, help="length of noise dimension")
-    p.add_argument("--geo_projection_dim", type=int, default=256, help="length of projected dimension")
-    p.add_argument("--app_projection_dim", type=int, default=256, help="length of projected dimension")
-    p.add_argument("--geo_latent_dim", type=int, default=64, help="length of intermediate latent dimension")
-    p.add_argument("--app_latent_dim", type=int, default=512, help="length of intermediate latent dimension")
+    p.add_argument("--max_flow_scale", type=float, default=0.1,
+                   help="cap on the per-block warp flow magnitude")
+    p.add_argument("--geo_noise_dim", type=int, default=64,
+                   help="geometry z-space size")
+    p.add_argument("--app_noise_dim", type=int, default=64,
+                   help="appearance z-space size")
+    p.add_argument("--geo_projection_dim", type=int, default=256,
+                   help="geometry embedding size of the D projection head")
+    p.add_argument("--app_projection_dim", type=int, default=256,
+                   help="appearance embedding size of the D projection head")
+    p.add_argument("--geo_latent_dim", type=int, default=64,
+                   help="geometry w-space size")
+    p.add_argument("--app_latent_dim", type=int, default=512,
+                   help="appearance w-space size")
 
-    p.add_argument("--epoch", type=int, default=100000, help="The number of epochs to run")
-    p.add_argument("--batch_size", type=int, default=32, help="The batch size")
-    p.add_argument("--g_lr", type=float, default=0.002, help="The learning rate of the generator")
-    p.add_argument("--d_lr", type=float, default=0.002, help="The learning rate of the discriminator")
-    p.add_argument("--beta1", type=float, default=0.0, help="The beta1 of ADAM optimizer")
-    p.add_argument("--beta2", type=float, default=0.99, help="The beta2 of ADAM optimizer")
-    p.add_argument("--g_ema_decay", type=float, default=0.9999, help="decaying rate of EMA")
-    p.add_argument("--g_ema_start", type=int, default=0, help="start step of applying EMA")
-    p.add_argument("--freezeD_start", type=int, default=100000, help="start step of applying freezeD")
-    p.add_argument("--freezeD_layer", type=int, default=5, help="first n layers of applying freezeD")
+    p.add_argument("--epoch", type=int, default=100000,
+                   help="total training iterations (the reference calls one batch an 'epoch')")
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="global batch, split across devices")
+    p.add_argument("--g_lr", type=float, default=0.002, help="generator Adam step size")
+    p.add_argument("--d_lr", type=float, default=0.002, help="discriminator Adam step size")
+    p.add_argument("--beta1", type=float, default=0.0, help="Adam first-moment coefficient")
+    p.add_argument("--beta2", type=float, default=0.99, help="Adam second-moment coefficient")
+    p.add_argument("--g_ema_decay", type=float, default=0.9999,
+                   help="generator weight-averaging decay")
+    p.add_argument("--g_ema_start", type=int, default=0,
+                   help="iteration at which EMA averaging kicks in (plain copy before)")
+    p.add_argument("--freezeD_start", type=int, default=100000,
+                   help="iteration at which the early D layers stop updating")
+    p.add_argument("--freezeD_layer", type=int, default=5,
+                   help="how many leading D blocks freezeD locks")
 
-    p.add_argument("--img_resolution", type=int, default=256, help="The size of image resolution")
-    p.add_argument("--img_ch", type=int, default=3, help="The size of image channel")
-    p.add_argument("--psi", type=float, default=2.0, help="The truncation value of noise vector")
-    p.add_argument("--w_psi", type=float, default=1.0, help="The truncation value of latent vector")
+    p.add_argument("--img_resolution", type=int, default=256,
+                   help="output image side length (256/512/1024)")
+    p.add_argument("--img_ch", type=int, default=3, help="output channel count")
+    p.add_argument("--psi", type=float, default=2.0,
+                   help="z-space sweep amplitude for demo videos")
+    p.add_argument("--w_psi", type=float, default=1.0,
+                   help="w-space truncation strength at inference (<=0: training mode)")
 
-    p.add_argument("--dataset_path", type=str, default="./", help="dataset_name")
-    p.add_argument("--model_name", type=str, default="", help="model name")
-    p.add_argument("--save_dir", type=str, default="model", help="Directory name to save the model")
+    p.add_argument("--dataset_path", type=str, default="./",
+                   help="root containing the train/ image folder")
+    p.add_argument("--model_name", type=str, default="",
+                   help="run directory (holds model/, samples/, logs)")
+    p.add_argument("--save_dir", type=str, default="model",
+                   help="checkpoint subdirectory inside the run dir")
     p.add_argument("--sample_dir", type=str, default="samples",
-                   help="Directory name to save the training results")
+                   help="monitor-output subdirectory inside the run dir")
 
-    p.add_argument("--num_fakes", type=int, default=10, help="Number of images to generate")
-    p.add_argument("--ctrl_dim", type=int, default=-1, help="control dimension")
-    p.add_argument("--num_videos", type=int, default=10, help="Number of videos to generate")
+    p.add_argument("--num_fakes", type=int, default=10,
+                   help="batches of fake images to write in fake_image_generation")
+    p.add_argument("--ctrl_dim", type=int, default=-1,
+                   help="latent dimension swept by video_generation (-1: all of them)")
+    p.add_argument("--num_videos", type=int, default=10,
+                   help="videos rendered per controlled dimension")
 
-    p.add_argument("--save_interval", type=int, default=5000, help="save interval")
-    p.add_argument("--print_interval", type=int, default=100, help="print interval")
+    p.add_argument("--save_interval", type=int, default=5000,
+                   help="iterations between checkpoint snapshots")
+    p.add_argument("--print_interval", type=int, default=100,
+                   help="iterations between log.txt lines")
     p.add_argument("--show_interval", type=int, default=1000,
-                   help="interval of showing images in training")
+                   help="iterations between sweep-video monitors")
 
     # --- TPU-native extensions ---
     p.add_argument("--compute_dtype", type=str, default="bfloat16",

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -21,13 +22,13 @@ import numpy as np
 from scipy import linalg
 
 from lcgan_tpu.config import Config
-from lcgan_tpu.data.dataset import ImageFolderDataset
+from lcgan_tpu.data.dataset import ImageFolderDataset, Prefetcher
 from lcgan_tpu.eval.inception import InceptionV3FID
 
 
 def calc_fid(sample_mean, sample_cov, real_mean, real_cov, eps: float = 1e-6) -> float:
     """Fréchet distance ||m1-m2||² + Tr(C1 + C2 - 2·(C1 C2)^{1/2})."""
-    cov_sqrt, _ = linalg.sqrtm(sample_cov @ real_cov, disp=False)
+    cov_sqrt = linalg.sqrtm(sample_cov @ real_cov)
     if not np.isfinite(cov_sqrt).all():
         offset = np.eye(sample_cov.shape[0]) * eps
         cov_sqrt = linalg.sqrtm((sample_cov + offset) @ (real_cov + offset))
@@ -64,6 +65,23 @@ def load_inception_params(cfg: Config, model: InceptionV3FID):
     return InceptionV3FID().init(jax.random.PRNGKey(0), dummy)
 
 
+def fid_real_indices(
+    dataset_len: int, num_batches: int, local_b: int, seed: int,
+    process_index: int = 0, process_count: int = 1,
+) -> np.ndarray:
+    """This process's real-image indices: a seeded permutation of the dataset,
+    truncated to the batch geometry — sampling WITHOUT replacement (the
+    reference draws reals through its shuffled training sampler,
+    worker.py:385-399; the old modulo wrap silently duplicated images)."""
+    take = num_batches * local_b * process_count
+    if take > dataset_len:
+        raise ValueError(
+            f"FID batch geometry needs {take} unique reals but the dataset has {dataset_len}"
+        )
+    perm = np.random.default_rng(seed).permutation(dataset_len)[:take]
+    return perm[process_index::process_count]
+
+
 def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) -> float:
     inception = InceptionV3FID(dtype=cfg.dtype)
     inc_vars = load_inception_params(cfg, inception)
@@ -77,17 +95,25 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
     local_b = max(cfg.batch_size // jax.process_count(), 1)
     num_batches = int(math.floor(n / cfg.batch_size)) if cfg.batch_size <= n else 1
     num_batches = max(num_batches, 1)
+    if cfg.batch_size > n:  # tiny dataset: shrink the batch, never duplicate
+        local_b = max(n // jax.process_count(), 1)
 
-    # ---- real features (this process's strided shard of the dataset) ----
+    # ---- real features: decode on a thread pool, prefetch ahead of the TPU
+    # (the reference decodes serially on the main thread — hours at 1024²) ----
     pi, pc = jax.process_index(), jax.process_count()
+    idxs = fid_real_indices(len(dataset), num_batches, local_b, cfg.seed, pi, pc)
+    pool = ThreadPoolExecutor(max_workers=max(1, cfg.num_data_workers))
+
+    def real_batches():
+        for b in range(num_batches):
+            chunk = idxs[b * local_b : (b + 1) * local_b]
+            imgs = list(pool.map(lambda i: dataset.get_eval(int(i))[0], chunk))
+            yield np.stack(imgs)
+
     real_feats = []
-    idx = pi
-    for _ in range(num_batches):
-        imgs = []
-        for _ in range(local_b):
-            imgs.append(dataset.get_eval(idx % len(dataset))[0])
-            idx += pc
-        real_feats.append(np.asarray(features(jnp.asarray(np.stack(imgs)))))
+    for imgs in Prefetcher(real_batches(), depth=2):
+        real_feats.append(np.asarray(features(jnp.asarray(imgs))))
+    pool.shutdown(wait=False)
 
     # ---- generated features ----
     key = jax.random.PRNGKey(cfg.seed + 1 + pi)

@@ -53,6 +53,7 @@ class SynthesisBlock(nn.Module):
     g_latent_dim: int
     a_latent_dim: int
     max_flow_scale: float
+    use_noise: bool = False  # reaches the two main convs, never the flow layer
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +77,7 @@ class SynthesisBlock(nn.Module):
             features=self.features,
             latent_dim=self.a_latent_dim,
             up=2,
+            use_noise=self.use_noise,
             dtype=self.dtype,
             name="modulated_conv0",
         )(x, a0)
@@ -84,6 +86,7 @@ class SynthesisBlock(nn.Module):
             features=self.features,
             latent_dim=self.a_latent_dim,
             up=1,
+            use_noise=self.use_noise,
             dtype=self.dtype,
             name="modulated_conv1",
         )(y, a1)
@@ -148,6 +151,7 @@ class Generator(nn.Module):
     max_nf: int = 512
     img_ch: int = 3
     w_avg_beta: float = 0.998
+    use_noise: bool = False  # the reference disables it everywhere (cnn.py:83,87)
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -216,6 +220,7 @@ class Generator(nn.Module):
                 g_latent_dim=self.geo_latent_dim,
                 a_latent_dim=self.app_latent_dim,
                 max_flow_scale=self.max_flow_scale,
+                use_noise=self.use_noise,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, geometry_code, a_pair)

@@ -18,8 +18,9 @@ zero (padding_mode='zeros').
 Interpolation is done in fp32 regardless of the feature dtype — the
 reference also casts to fp32 before warping (custom_layers.py:163-164).
 
-A fused Pallas kernel for this op lives in lcgan_tpu/ops/pallas/ (used when
-beneficial); this XLA version is the reference implementation and VJP oracle.
+This module holds the XLA formulations (gather, patch-gather, banded
+matmul); they serve as the reference implementations and VJP oracles for
+the fused Pallas kernel in lcgan_tpu.ops.warp_pallas.
 """
 
 from __future__ import annotations
@@ -145,6 +146,11 @@ def grid_sample_bicubic_banded(x: jax.Array, grid: jax.Array, max_disp: int) -> 
     # Per-pixel FLOPs scale with S, so smaller tiles cut waste; TL=64 beat
     # 128/32 on v5e (86.7 vs 106/95.5 ms fwd+bwd at 256²×128ch×b8).
     tl = min(64, w)
+    if w % tl:
+        # A partial last tile would make the fixed-size dynamic_slice below
+        # clamp its start and silently mismatch the precomputed `cols`
+        # weights — fail loudly instead (model resolutions are powers of 2).
+        raise ValueError(f"banded warp requires W % {tl} == 0, got W={w}")
     num_tiles = (w + tl - 1) // tl
     s_win = tl + 2 * m
 

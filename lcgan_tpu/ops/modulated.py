@@ -117,10 +117,14 @@ class ModulatedConv2d(nn.Module):
 
 
 class SynthesisLayer(nn.Module):
-    """Style affine + modulated conv (custom_layers.py:89-111).
+    """Style affine + modulated conv + optional fixed-noise add
+    (custom_layers.py:89-111).
 
-    ``use_noise`` is accepted for parity but the reference disables it
-    everywhere (cnn.py:83,87), so the noise branch is intentionally omitted.
+    ``use_noise`` (off everywhere in the reference, cnn.py:83,87) adds a
+    per-layer FIXED noise image scaled by a learned scalar and a 0.01 gain
+    (custom_layers.py:99-101,106-108). The noise image is a buffer, not a
+    parameter — it lives in the 'stats' collection (like the w-avg buffers)
+    so it is checkpointed and EMA-copied but never trained.
     """
 
     features: int
@@ -128,6 +132,7 @@ class SynthesisLayer(nn.Module):
     kernel_size: int = 3
     up: int = 1
     lr_mul: float = 1.0
+    use_noise: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -136,7 +141,7 @@ class SynthesisLayer(nn.Module):
         s = EqualizedLinear(
             features=x.shape[-1], bias_init=1.0, lr_mul=1.0, dtype=jnp.float32, name="linear"
         )(latent)
-        return ModulatedConv2d(
+        y = ModulatedConv2d(
             features=self.features,
             kernel_size=self.kernel_size,
             up=self.up,
@@ -144,3 +149,15 @@ class SynthesisLayer(nn.Module):
             dtype=self.dtype,
             name="modulated_conv",
         )(x, s)
+        if self.use_noise:
+            noise_gain = 0.01  # custom_layers.py:99
+            strength = self.param("noise_strength", nn.initializers.zeros, ())
+            res_h, res_w = y.shape[1], y.shape[2]
+            const = self.variable(
+                "stats",
+                "noise_const",
+                lambda: jax.random.normal(self.make_rng("params"), (res_h, res_w), jnp.float32),
+            )
+            noise = const.value * strength * noise_gain
+            y = y + noise.astype(y.dtype)[None, :, :, None]
+        return y

@@ -35,14 +35,21 @@ def build_trainer(cfg: Config) -> Trainer:
 
 
 def load_or_init_state(cfg: Config, trainer: Trainer):
-    """Resume from epoch.txt + checkpoint if present (loader.py:36-42)."""
+    """Resume from checkpoint if present (loader.py:36-42).
+
+    The checkpoint alone decides whether weights are restored; epoch.txt only
+    gates the resume epoch. (A run dir holding a copied state but no
+    epoch.txt — e.g. a transplanted state_best — must still restore, or eval
+    phases would silently run on random weights.)
+    """
     state = trainer.init_state()
     ckpt = CheckpointManager(cfg.run_dirs()["model"])
     start_epoch = 0
-    last_epoch = read_epoch_file(cfg.model_name)
-    if last_epoch is not None and ckpt.exists(best=cfg.best):
+    if ckpt.exists(best=cfg.best):
         state = ckpt.restore(state, best=cfg.best)
-        start_epoch = last_epoch + 1
+        last_epoch = read_epoch_file(cfg.model_name)
+        if last_epoch is not None:
+            start_epoch = last_epoch + 1
         if _is_main():
             print(f"restart training from: {start_epoch}")
     return state, start_epoch, ckpt

@@ -213,13 +213,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def generate(self, state: TrainState, z1, z2, w_psi: float, use_ema: bool = True):
-        """EMA-generator inference forward at a static w_psi (cnn.py:89-115)."""
+        """EMA-generator inference forward at a static w_psi (cnn.py:89-115).
+
+        Applied with mutable=['stats'] (mutation discarded): w_psi <= 0 is the
+        reference's untruncated sampling mode and updates the w-avg buffers
+        in-forward (cnn.py:96-97) — without the mutable collection that mode
+        would raise instead of generating.
+        """
         key = (float(w_psi), bool(use_ema))
         if key not in self._gen_cache:
 
             @jax.jit
             def gen(params, stats, z1, z2):
-                return self.generator.apply({"params": params, "stats": stats}, z1, z2, float(w_psi))
+                out, _ = self.generator.apply(
+                    {"params": params, "stats": stats}, z1, z2, float(w_psi), mutable=["stats"]
+                )
+                return out
 
             self._gen_cache[key] = gen
         params = state.ema_params if use_ema else state.g_params

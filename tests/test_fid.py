@@ -95,3 +95,24 @@ def test_convert_npz_roundtrip(tmp_path):
     back = load_params_npz(p)
     np.testing.assert_array_equal(back["A"]["b"], params["A"]["b"])
     np.testing.assert_array_equal(back["A"]["c"]["d"], params["A"]["c"]["d"])
+
+
+def test_fid_real_indices_unique_exact_and_sharded():
+    from lcgan_tpu.eval.fid import fid_real_indices
+
+    # single process: exact count, no duplicates, within range, shuffled
+    idx = fid_real_indices(100, num_batches=6, local_b=4, seed=7)
+    assert len(idx) == 24
+    assert len(np.unique(idx)) == 24
+    assert idx.min() >= 0 and idx.max() < 100
+    assert not np.array_equal(idx, np.arange(24))  # seeded permutation, not file order
+
+    # two processes: disjoint shards, together exactly num*local*pc unique
+    a = fid_real_indices(100, 6, 4, seed=7, process_index=0, process_count=2)
+    b = fid_real_indices(100, 6, 4, seed=7, process_index=1, process_count=2)
+    both = np.concatenate([a, b])
+    assert len(both) == 48 and len(np.unique(both)) == 48
+
+    # refuses to sample with replacement
+    with pytest.raises(ValueError, match="unique reals"):
+        fid_real_indices(10, num_batches=3, local_b=4, seed=0)

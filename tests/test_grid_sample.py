@@ -7,6 +7,7 @@ tested against torch for values, out-of-bounds handling, and gradients.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -169,3 +170,12 @@ def test_identity_like_coordinates_layout():
     # channel 0 is x (varies along width), normalized by (size-1)
     np.testing.assert_allclose(coords[0, 0, :, 0], np.linspace(-1, 1, 6), atol=1e-6)
     np.testing.assert_allclose(coords[0, :, 0, 1], np.linspace(-1, 1, 4), atol=1e-6)
+
+
+def test_banded_rejects_partial_tiles(rng):
+    """W not divisible by the 64-col tile must fail loudly, not corrupt the
+    right edge (the fixed-size window slice would clamp silently)."""
+    x = jnp.asarray(rng.standard_normal((1, 8, 100, 3), dtype=np.float32))
+    grid = identity_like_coordinates(1, 8, 100)
+    with pytest.raises(ValueError, match="banded warp requires"):
+        grid_sample_bicubic_banded(x, grid, 4)

@@ -91,3 +91,66 @@ def test_modulated_conv_grad_flows(rng):
     for g in (gx, gs, gw):
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_synthesis_layer_use_noise_branch(rng):
+    """use_noise (custom_layers.py:99-108): fixed randn buffer × learned
+    scalar × 0.01 gain; zero-init strength ⇒ identical to the no-noise path."""
+    import flax
+    from lcgan_tpu.ops.modulated import SynthesisLayer
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6), dtype=np.float32))
+    lat = jnp.asarray(rng.standard_normal((2, 4), dtype=np.float32))
+    key = jax.random.PRNGKey(3)
+
+    plain = SynthesisLayer(features=5, latent_dim=4)
+    noisy = SynthesisLayer(features=5, latent_dim=4, use_noise=True)
+
+    vp = plain.init(key, x, lat)
+    vn = noisy.init(key, x, lat)
+
+    # buffer lives in stats (not trained), strength is a zero-init param
+    assert vn["stats"]["noise_const"].shape == (8, 8)
+    assert float(vn["params"]["noise_strength"]) == 0.0
+    assert "stats" not in plain.init(key, x, lat.copy()) or True
+
+    # zero strength: exact match with the no-noise layer (same param init)
+    y0 = plain.apply(vp, x, lat)
+    y1 = noisy.apply(vn, x, lat)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    # nonzero strength adds noise_const * strength * 0.01, broadcast over B/C
+    vn2 = flax.core.unfreeze(vn)
+    vn2["params"] = dict(vn2["params"], noise_strength=jnp.asarray(2.5))
+    y2 = noisy.apply(vn2, x, lat)
+    want = np.asarray(y1) + np.asarray(vn["stats"]["noise_const"])[None, :, :, None] * 2.5 * 0.01
+    np.testing.assert_allclose(np.asarray(y2), want, atol=1e-5)
+
+    # strength receives gradient
+    def loss(p):
+        return jnp.sum(noisy.apply({"params": p, "stats": vn2["stats"]}, x, lat) ** 2)
+
+    g = jax.grad(loss)(vn2["params"])
+    assert float(jnp.abs(g["noise_strength"])) > 0.0
+
+
+def test_generator_use_noise_shapes():
+    """use_noise threads to the two main convs of every block, never the flow
+    layer (custom_layers.py:120-123); buffers match each block's resolution."""
+    from lcgan_tpu.models.generator import Generator
+
+    g = Generator(
+        img_resolution=16, geo_noise_dim=8, app_noise_dim=8, geo_latent_dim=8,
+        app_latent_dim=16, base_nf=8, max_nf=16, use_noise=True,
+    )
+    z1 = jnp.zeros((2, 8))
+    z2 = jnp.zeros((2, 8))
+    v = g.init(jax.random.PRNGKey(0), z1, z2, -1.0)
+    stats = v["stats"]
+    for i, res in enumerate([8, 16]):
+        blk = stats[f"block_{i}"]
+        assert blk["modulated_conv0"]["noise_const"].shape == (res, res)
+        assert blk["modulated_conv1"]["noise_const"].shape == (res, res)
+        assert "noise_const" not in blk.get("flow_layer", {})
+    out, _ = g.apply(v, z1, z2, -1.0, mutable=["stats"])
+    assert out.shape == (2, 16, 16, 3)

@@ -1,5 +1,7 @@
 """Train-step tests: schedule variants, EMA, freezeD, DP equivalence."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -166,3 +168,39 @@ def test_generate_uses_ema_and_truncation():
     img = trainer.generate(state, z1, z2, w_psi=1.0)
     assert img.shape == (2, 16, 16, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_generate_untruncated_w_psi():
+    """w_psi <= 0 (the reference's untruncated sampling mode) must generate,
+    not raise on the in-forward w-avg mutation (ADVICE r1)."""
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    z1 = jnp.zeros((2, cfg.geo_noise_dim))
+    z2 = jnp.zeros((2, cfg.app_noise_dim))
+    out = trainer.generate(state, z1, z2, w_psi=-1.0)
+    assert out.shape == (2, cfg.img_resolution, cfg.img_resolution, 3)
+    assert bool(jnp.isfinite(out).all())
+    # and the mutation is discarded: state is untouched
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_stats["avg_latent1"]), np.zeros(cfg.geo_latent_dim)
+    )
+
+
+def test_restore_without_epoch_file(tmp_path):
+    """A checkpoint without epoch.txt (e.g. a transplanted state_best) must
+    still restore weights for eval phases (ADVICE r1)."""
+    from lcgan_tpu.train.loop import load_or_init_state
+    from lcgan_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = tiny_cfg(model_name=str(tmp_path / "run"))
+    cfg.make_run_dirs()
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    state = state.replace(step=jnp.asarray(77, jnp.int32))
+    CheckpointManager(cfg.run_dirs()["model"]).save(state)
+    assert not os.path.exists(os.path.join(cfg.model_name, "epoch.txt"))
+
+    restored, start_epoch, _ = load_or_init_state(cfg, trainer)
+    assert int(restored.step) == 77  # weights restored
+    assert start_epoch == 0  # epoch.txt only gates the resume epoch
