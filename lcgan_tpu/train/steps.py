@@ -29,6 +29,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
@@ -208,7 +209,16 @@ class Trainer:
 
     def train_iteration(self, state: TrainState, batch: Any, epoch: int):
         if self.mesh is not None:
-            batch = jax.device_put(batch, NamedSharding(self.mesh, P("data")))
+            # Each process holds only its HOST-LOCAL shard of the global batch
+            # (the DistributedSampler contract, worker.py:88-96 / loader.py:13-19).
+            # make_array_from_process_local_data assembles the global sharded
+            # array from per-process locals without any gather — device_put
+            # with a global sharding would mis-slice (or raise) multi-process.
+            sharding = NamedSharding(self.mesh, P("data"))
+            batch = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+                batch,
+            )
         return self.step_variant(epoch)(state, batch)
 
     # ------------------------------------------------------------------

@@ -204,3 +204,72 @@ def test_restore_without_epoch_file(tmp_path):
     restored, start_epoch, _ = load_or_init_state(cfg, trainer)
     assert int(restored.step) == 77  # weights restored
     assert start_epoch == 0  # epoch.txt only gates the resume epoch
+
+
+@pytest.mark.parametrize("epoch", [0, 1])
+def test_data_parallel_step_equals_meshless_reference(epoch):
+    """SURVEY §4 DP-equivalence: one shard_map step over the 8-device mesh
+    must equal the SAME per-shard computation run without any mesh (vmap with
+    a named axis has identical pmean/axis_index semantics) — this pins the
+    mesh wiring (batch sharding, grad/loss pmean, w-avg pmean, replication),
+    not just finiteness."""
+    import functools
+
+    # adam_eps=1e-3: with beta1=0 the first-step Adam update is lr·g/(|g|+eps)
+    # — at the default eps a noise-level gradient element flips sign and moves
+    # the param by a full ±lr, which would test fp32 summation-order noise, not
+    # the mesh wiring. The damped eps keeps updates proportional to gradients.
+    cfg = tiny_cfg(batch_size=16, adam_eps=1e-3)
+    mesh = make_mesh(num_devices=8)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state()
+    batch = fake_batch(cfg, 16, seed=3)
+
+    even = epoch % 2 == 0
+
+    # meshless oracle: vmap the per-device iteration body over 8 shards
+    ref_fn = jax.vmap(
+        functools.partial(trainer._iteration, even=even, with_r1=epoch % 8 == 1, frozen=False),
+        axis_name="data",
+        in_axes=(None, 0),
+    )
+    shards = jax.tree.map(lambda x: x.reshape(8, 2, *x.shape[1:]), batch)
+    ref_state, ref_g, ref_d = jax.jit(ref_fn)(state, shards)
+    # pmean makes every shard's outputs identical — collapse the vmap axis
+    ref_state = jax.tree.map(lambda x: x[0], ref_state)
+    jax.block_until_ready(ref_state)
+
+    new_state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
+
+    np.testing.assert_allclose(float(g_loss), float(ref_g[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(d_loss), float(ref_d[0]), atol=1e-5, rtol=1e-5)
+    for path, a in jax.tree_util.tree_flatten_with_path(new_state.g_params)[0]:
+        b = functools.reduce(lambda t, k: t[k.key], path, ref_state.g_params)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=f"g_params mismatch at {jax.tree_util.keystr(path)}",
+        )
+    for path, a in jax.tree_util.tree_flatten_with_path(new_state.d_params)[0]:
+        b = functools.reduce(lambda t, k: t[k.key], path, ref_state.d_params)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=f"d_params mismatch at {jax.tree_util.keystr(path)}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_state.g_stats["avg_latent1"]),
+        np.asarray(ref_state.g_stats["avg_latent1"]), atol=1e-6,
+    )
+
+
+def test_train_iteration_accepts_numpy_host_batch():
+    """The pipeline hands numpy host arrays; the mesh path must assemble them
+    into a global sharded array (make_array_from_process_local_data)."""
+    cfg = tiny_cfg(batch_size=16)
+    trainer = Trainer(cfg, mesh=make_mesh(num_devices=8))
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    mk = lambda: rng.uniform(-1, 1, (16, cfg.img_resolution, cfg.img_resolution, 3)).astype(np.float32)
+    batch = {"image": mk(), "geometry_change": mk(), "appearance_change": mk()}
+    new_state, g_loss, d_loss = trainer.train_iteration(state, batch, 1)
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+    assert len(new_state.g_params["const"].sharding.device_set) == 8
