@@ -116,3 +116,202 @@ def test_fid_real_indices_unique_exact_and_sharded():
     # refuses to sample with replacement
     with pytest.raises(ValueError, match="unique reals"):
         fid_real_indices(10, num_batches=3, local_b=4, seed=0)
+
+
+# ---------------------------------------------------------------------------
+# Full-network parity: raw-torch TF-FID InceptionV3 oracle (the topology of
+# reference eval/inception.py:166-310, built without torchvision) with random
+# conv weights AND random BatchNorm running stats, saved in pytorch-fid's
+# state-dict layout, converted by convert_torch_inception, and compared to
+# the Flax network at pool3. This proves the whole eval stack — converter
+# (BN fold, OIHW→HWIO), conv/pool semantics, resize — end to end.
+# ---------------------------------------------------------------------------
+import torch.nn as tnn
+
+
+class _TBasic(tnn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class _TInceptionA(tnn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = _TBasic(cin, 64, kernel_size=1)
+        self.branch5x5_1 = _TBasic(cin, 48, kernel_size=1)
+        self.branch5x5_2 = _TBasic(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _TBasic(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TBasic(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _TBasic(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _TBasic(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        # the FIDInceptionA patch: count_include_pad=False
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1, count_include_pad=False))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class _TInceptionB(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = _TBasic(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _TBasic(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TBasic(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _TBasic(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat(
+            [self.branch3x3(x),
+             self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+             F.max_pool2d(x, 3, 2)], 1)
+
+
+class _TInceptionC(tnn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = _TBasic(cin, 192, kernel_size=1)
+        self.branch7x7_1 = _TBasic(cin, c7, kernel_size=1)
+        self.branch7x7_2 = _TBasic(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = _TBasic(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _TBasic(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _TBasic(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _TBasic(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _TBasic(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _TBasic(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = _TBasic(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+            self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1, count_include_pad=False))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class _TInceptionD(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = _TBasic(cin, 192, kernel_size=1)
+        self.branch3x3_2 = _TBasic(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _TBasic(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = _TBasic(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = _TBasic(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = _TBasic(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(
+            self.branch7x7x3_2(self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+
+class _TInceptionE(tnn.Module):
+    def __init__(self, cin, pool_mode):
+        super().__init__()
+        self.pool_mode = pool_mode
+        self.branch1x1 = _TBasic(cin, 320, kernel_size=1)
+        self.branch3x3_1 = _TBasic(cin, 384, kernel_size=1)
+        self.branch3x3_2a = _TBasic(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = _TBasic(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = _TBasic(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _TBasic(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _TBasic(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = _TBasic(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = _TBasic(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool_mode == "max":  # FIDInceptionE_2 patch
+            bp = F.max_pool2d(x, 3, 1, 1)
+        else:  # FIDInceptionE_1 patch
+            bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        return torch.cat([b1, b3, bd, self.branch_pool(bp)], 1)
+
+
+class _TFFIDInception(tnn.Module):
+    """pool3 feature extractor with pytorch-fid's module naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _TBasic(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _TBasic(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = _TBasic(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = _TBasic(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = _TBasic(80, 192, kernel_size=3)
+        self.Mixed_5b = _TInceptionA(192, 32)
+        self.Mixed_5c = _TInceptionA(256, 64)
+        self.Mixed_5d = _TInceptionA(288, 64)
+        self.Mixed_6a = _TInceptionB(288)
+        self.Mixed_6b = _TInceptionC(768, 128)
+        self.Mixed_6c = _TInceptionC(768, 160)
+        self.Mixed_6d = _TInceptionC(768, 160)
+        self.Mixed_6e = _TInceptionC(768, 192)
+        self.Mixed_7a = _TInceptionD(768)
+        self.Mixed_7b = _TInceptionE(1280, "avg")
+        self.Mixed_7c = _TInceptionE(2048, "max")
+
+    def forward(self, x, resize=True):
+        if resize and x.shape[-1] != 299:
+            x = F.interpolate(x, size=(299, 299), mode="bilinear", align_corners=False)
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, 3, 2)
+        for m in [self.Mixed_5b, self.Mixed_5c, self.Mixed_5d, self.Mixed_6a,
+                  self.Mixed_6b, self.Mixed_6c, self.Mixed_6d, self.Mixed_6e,
+                  self.Mixed_7a, self.Mixed_7b, self.Mixed_7c]:
+            x = m(x)
+        return torch.mean(x, dim=(2, 3))
+
+
+def _randomize_tf_fid(model: tnn.Module, seed: int):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, tnn.Conv2d):
+                fan_in = m.weight.shape[1] * m.weight.shape[2] * m.weight.shape[3]
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g) / np.sqrt(fan_in))
+            elif isinstance(m, tnn.BatchNorm2d):
+                # non-trivial running stats so the converter's BN fold is load-bearing
+                m.weight.copy_(0.5 + torch.rand(m.weight.shape, generator=g))
+                m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=g))
+                m.running_mean.copy_(0.1 * torch.randn(m.running_mean.shape, generator=g))
+                m.running_var.copy_(0.5 + torch.rand(m.running_var.shape, generator=g))
+
+
+@pytest.mark.parametrize("in_size", [299, 256])
+def test_full_inception_parity_vs_torch(tmp_path, in_size):
+    """The converted Flax network must reproduce a torch TF-FID forward
+    (random weights + random BN stats) at pool3 to ~1e-4 (VERDICT r1 #3)."""
+    from lcgan_tpu.eval.convert import convert_torch_inception
+
+    oracle = _TFFIDInception().eval()
+    _randomize_tf_fid(oracle, seed=11)
+    pth = tmp_path / "rand_tf_fid.pth"
+    torch.save(oracle.state_dict(), pth)
+
+    params = convert_torch_inception(str(pth))
+    flax_model = InceptionV3FID()
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (2, in_size, in_size, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    got = np.asarray(flax_model.apply({"params": params}, jnp.asarray(x)))
+
+    assert got.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
