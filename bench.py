@@ -1,17 +1,20 @@
-"""Training-throughput benchmark on the flagship config (FFHQ-256 recipe).
+"""Training-throughput benchmark at the reference's three flagship recipes.
 
 Measures steady-state imgs/sec for the full LC-GAN train iteration
-(G step + EMA + D step) at 256², global batch 32, bf16 compute, on whatever
-devices are visible (1 real TPU chip under the driver). The schedule mix is
-the reference's: per 8 iterations — 4 even (contrastive aux), 3 odd, 1
-odd+R1 (worker.py:151-210) — so the number is the real per-chip training
-rate, not a cherry-picked variant.
+(G step + EMA + D step) at 256²/512²/1024² with the reference's per-GPU
+batch sizes (global 32 over 4/4/8 H100s → 8/8/4 per chip, README.md:27-57),
+bf16 compute, on whatever devices are visible (1 real TPU chip under the
+driver). The schedule mix is the reference's: per 8 iterations — 4 even
+(contrastive aux), 3 odd, 1 odd+R1 (worker.py:151-210) — so each number is
+the real per-chip training rate, not a cherry-picked variant.
 
-Prints ONE JSON line. ``vs_baseline``: the reference publishes no throughput
-(BASELINE.md — "published": {}), so the ratio is against 60 imgs/sec/chip,
-an H100-class estimate for StyleGAN2-family training at 256² with R1 and the
-reference's 5-forward/2-backward schedule (the BASELINE.json north star is
-">= H100-class imgs/sec/chip").
+Prints ONE JSON line. The primary metric stays 256² for cross-round
+comparability; 512/1024 ride along as extra fields. ``vs_baseline``: the
+reference publishes no throughput (BASELINE.md — "published": {}), so the
+ratio is against 60 imgs/sec/chip, an H100-class estimate for
+StyleGAN2-family training at 256² with R1 and the reference's
+5-forward/2-backward schedule (BASELINE.json north star is ">= H100-class
+imgs/sec/chip").
 """
 
 from __future__ import annotations
@@ -21,8 +24,13 @@ import time
 
 H100_CLASS_ESTIMATE_IMGS_PER_SEC = 60.0
 
+# (resolution, per-chip batch): the reference's per-GPU batches; memory
+# fits measured on one 16G v5e (DESIGN.md) — 1024² runs b2/chip there
+# (the 80G-class target hardware takes the reference's b4).
+RECIPES = [(256, 8), (512, 4), (1024, 2)]
 
-def main():
+
+def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,14 +38,10 @@ def main():
     from lcgan_tpu.config import Config
     from lcgan_tpu.train.steps import Trainer
 
-    n_chips = jax.device_count()
-    # Per-chip batch 8 — the reference's per-GPU batch (global 32 over
-    # 4 H100s, README.md:47-49). 16/chip is ~85M over a v5e's 16G HBM on
-    # the even-iteration variant (3 G + 6 D applications live).
     cfg = Config(
         model_name="/tmp/lcgan_bench",
-        img_resolution=256,
-        batch_size=8 * n_chips,
+        img_resolution=res,
+        batch_size=per_chip_batch * n_chips,
         compute_dtype="bfloat16",
         remat_blocks=True,
         freezeD_start=10**9,
@@ -52,7 +56,7 @@ def main():
 
     rng = np.random.default_rng(0)
     mk = lambda: jnp.asarray(
-        rng.uniform(-1, 1, (cfg.batch_size, 256, 256, 3)).astype(np.float32)
+        rng.uniform(-1, 1, (cfg.batch_size, res, res, 3)).astype(np.float32)
     )
     batch = {"image": mk(), "geometry_change": mk(), "appearance_change": mk()}
 
@@ -63,26 +67,38 @@ def main():
         state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
     float(g_loss)
 
-    iters = 16
+    iters = 16 if res <= 512 else 8
     t0 = time.perf_counter()
     for epoch in range(8, 8 + iters):
         state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
     # the last loss transitively depends on every prior step's state
     float(g_loss), float(d_loss)
     dt = time.perf_counter() - t0
+    return cfg.batch_size * iters / dt / n_chips
 
-    imgs_per_sec = cfg.batch_size * iters / dt
-    per_chip = imgs_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "train_imgs_per_sec_per_chip_256",
-                "value": round(per_chip, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(per_chip / H100_CLASS_ESTIMATE_IMGS_PER_SEC, 3),
-            }
-        )
-    )
+
+def main():
+    import jax
+
+    n_chips = jax.device_count()
+    results = {}
+    for res, b in RECIPES:
+        try:
+            results[res] = round(measure(res, b, n_chips), 2)
+        except Exception as e:  # pragma: no cover - records OOM/compile limits
+            results[res] = f"failed: {type(e).__name__}"
+    per_chip = results[256]
+    out = {
+        "metric": "train_imgs_per_sec_per_chip_256",
+        "value": per_chip,
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(per_chip / H100_CLASS_ESTIMATE_IMGS_PER_SEC, 3)
+        if isinstance(per_chip, float)
+        else 0.0,
+        "imgs_per_sec_per_chip_512": results[512],
+        "imgs_per_sec_per_chip_1024": results[1024],
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

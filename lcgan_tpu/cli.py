@@ -108,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action=argparse.BooleanOptionalAction,
                    help="rematerialize G/D blocks in backward (--no-remat_blocks to disable)")
     p.add_argument("--num_data_workers", type=int, default=4, help="host data worker threads")
+    p.add_argument("--warp_impl", type=str, default="auto",
+                   choices=["auto", "pallas", "banded"],
+                   help="bicubic-warp backend (auto: fused Pallas kernel on TPU)")
     p.add_argument("--profile_dir", type=str, default="", help="jax.profiler trace output dir")
     return p
 

@@ -88,6 +88,10 @@ class Config:
     # v5e's 16G HBM at 256² batch 32. Costs ~1/3 extra forward FLOPs.
     remat_blocks: bool = True
     profile_dir: str = ""  # if set, jax.profiler traces are written here
+    # Bicubic-warp backend: "pallas" = fused TPU kernel (ops/warp_pallas.py),
+    # "banded" = XLA scan form, "auto" = pallas on TPU backends, banded
+    # elsewhere (CPU tests/dryrun can't run Mosaic kernels).
+    warp_impl: str = "auto"
 
     # ------------------------------------------------------------------
     @property

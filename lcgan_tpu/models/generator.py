@@ -37,6 +37,7 @@ from lcgan_tpu.ops.grid_sample import (
     identity_like_coordinates,
     max_warp_displacement,
 )
+from lcgan_tpu.ops.warp_pallas import grid_sample_bicubic_pallas
 from lcgan_tpu.ops.mapping import MappingNetwork
 from lcgan_tpu.ops.modulated import SynthesisLayer
 
@@ -54,6 +55,7 @@ class SynthesisBlock(nn.Module):
     a_latent_dim: int
     max_flow_scale: float
     use_noise: bool = False  # reaches the two main convs, never the flow layer
+    warp_impl: str = "auto"  # auto | pallas (fused kernel) | banded (XLA)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -100,7 +102,14 @@ class SynthesisBlock(nn.Module):
         coords = identity_like_coordinates(b, h, w)
         correspondence = coords + flow * self.max_flow_scale
         max_disp = max_warp_displacement(h, self.max_flow_scale)
-        return grid_sample_bicubic_banded(y, correspondence, max_disp).astype(self.dtype)
+        use_pallas = self.warp_impl == "pallas" or (
+            self.warp_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            warped = grid_sample_bicubic_pallas(y, correspondence, max_disp)
+        else:
+            warped = grid_sample_bicubic_banded(y, correspondence, max_disp)
+        return warped.astype(self.dtype)
 
 
 class ToRGBBlock(nn.Module):
@@ -153,6 +162,7 @@ class Generator(nn.Module):
     w_avg_beta: float = 0.998
     use_noise: bool = False  # the reference disables it everywhere (cnn.py:83,87)
     remat: bool = False
+    warp_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @property
@@ -221,6 +231,7 @@ class Generator(nn.Module):
                 a_latent_dim=self.app_latent_dim,
                 max_flow_scale=self.max_flow_scale,
                 use_noise=self.use_noise,
+                warp_impl=self.warp_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, geometry_code, a_pair)

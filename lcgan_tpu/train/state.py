@@ -45,6 +45,7 @@ def build_models(cfg: Config):
         max_nf=cfg.max_nf,
         img_ch=cfg.img_ch,
         remat=cfg.remat_blocks,
+        warp_impl=cfg.warp_impl,
         dtype=cfg.dtype,
     )
     discriminator = Discriminator(
