@@ -30,6 +30,19 @@ H100_CLASS_ESTIMATE_IMGS_PER_SEC = 60.0
 RECIPES = [(256, 8), (512, 4), (1024, 2)]
 
 
+def _enable_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("LCGAN_JAX_CACHE", os.path.expanduser("~/.cache/lcgan_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except RuntimeError:
+        pass
+
+
 def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
     import jax
     import jax.numpy as jnp
@@ -80,6 +93,7 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
 def main():
     import jax
 
+    _enable_cache()
     n_chips = jax.device_count()
     results = {}
     for res, b in RECIPES:

@@ -111,6 +111,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_impl", type=str, default="auto",
                    choices=["auto", "pallas", "banded"],
                    help="bicubic-warp backend (auto: fused Pallas kernel on TPU)")
+    p.add_argument("--warp_pallas_min_res", type=int, default=128,
+                   help="auto mode: smallest map size routed to the fused kernel")
     p.add_argument("--profile_dir", type=str, default="", help="jax.profiler trace output dir")
     return p
 

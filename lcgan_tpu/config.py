@@ -92,6 +92,10 @@ class Config:
     # "banded" = XLA scan form, "auto" = pallas on TPU backends, banded
     # elsewhere (CPU tests/dryrun can't run Mosaic kernels).
     warp_impl: str = "auto"
+    # Below this map size the banded scan is already cheap and the fused
+    # kernel's DMA/dispatch/transpose overheads dominate (measured: fused
+    # loses at <=64², wins 1.9x at 128², tools/warp_blocks_probe.py).
+    warp_pallas_min_res: int = 128
 
     # ------------------------------------------------------------------
     @property

@@ -56,6 +56,7 @@ class SynthesisBlock(nn.Module):
     max_flow_scale: float
     use_noise: bool = False  # reaches the two main convs, never the flow layer
     warp_impl: str = "auto"  # auto | pallas (fused kernel) | banded (XLA)
+    warp_pallas_min_res: int = 128  # below: banded scan (cheaper at small maps)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,9 +104,13 @@ class SynthesisBlock(nn.Module):
         correspondence = coords + flow * self.max_flow_scale
         max_disp = max_warp_displacement(h, self.max_flow_scale)
         use_pallas = self.warp_impl == "pallas" or (
-            self.warp_impl == "auto" and jax.default_backend() == "tpu"
+            self.warp_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and h >= self.warp_pallas_min_res
         )
-        if use_pallas:
+        if self.warp_impl == "none":  # diagnostic only: skip the warp
+            warped = y
+        elif use_pallas:
             warped = grid_sample_bicubic_pallas(y, correspondence, max_disp)
         else:
             warped = grid_sample_bicubic_banded(y, correspondence, max_disp)
@@ -163,6 +168,7 @@ class Generator(nn.Module):
     use_noise: bool = False  # the reference disables it everywhere (cnn.py:83,87)
     remat: bool = False
     warp_impl: str = "auto"
+    warp_pallas_min_res: int = 128
     dtype: Dtype = jnp.float32
 
     @property
@@ -232,6 +238,7 @@ class Generator(nn.Module):
                 max_flow_scale=self.max_flow_scale,
                 use_noise=self.use_noise,
                 warp_impl=self.warp_impl,
+                warp_pallas_min_res=self.warp_pallas_min_res,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, geometry_code, a_pair)

@@ -46,6 +46,7 @@ def build_models(cfg: Config):
         img_ch=cfg.img_ch,
         remat=cfg.remat_blocks,
         warp_impl=cfg.warp_impl,
+        warp_pallas_min_res=cfg.warp_pallas_min_res,
         dtype=cfg.dtype,
     )
     discriminator = Discriminator(

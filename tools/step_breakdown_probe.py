@@ -1,0 +1,106 @@
+"""Decompose the train step: G fwd / G bwd / D fwd / D bwd / R1 at one res.
+
+Times jitted sub-graphs in isolation (pipelined, axon-safe value barrier)
+so the step's cost can be attributed before optimizing. Usage:
+    python -m tools.step_breakdown_probe [--res 256] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcgan_tpu.config import Config
+from lcgan_tpu.train.state import build_models, create_train_state
+
+
+def timeit(fn, *args, n=10):
+    out = fn(*args)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    return (time.perf_counter() - t0) / n * 1000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--warp_impl", type=str, default="auto")
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except RuntimeError:
+        pass
+
+    cfg = Config(
+        model_name="/tmp/lcgan_perf",
+        img_resolution=args.res,
+        batch_size=args.batch,
+        compute_dtype="bfloat16",
+        remat_blocks=True,
+        warp_impl=args.warp_impl,
+    )
+    G, D = build_models(cfg)
+    state = create_train_state(cfg)
+    rng = np.random.default_rng(0)
+    b = args.batch
+    z1 = jnp.asarray(rng.standard_normal((b, cfg.geo_noise_dim)), jnp.float32)
+    z2 = jnp.asarray(rng.standard_normal((b, cfg.app_noise_dim)), jnp.float32)
+    img = jnp.asarray(rng.uniform(-1, 1, (b, args.res, args.res, 3)), jnp.float32)
+
+    g_vars = {"params": state.g_params, "stats": state.g_stats}
+
+    @jax.jit
+    def g_fwd(v, z1, z2):
+        out, _ = G.apply(v, z1, z2, -1.0, mutable=["stats"])
+        return out
+
+    @jax.jit
+    def g_grad(v, z1, z2):
+        def loss(p):
+            out, _ = G.apply({"params": p, "stats": v["stats"]}, z1, z2, -1.0, mutable=["stats"])
+            return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+        return jax.grad(loss)(v["params"])
+
+    @jax.jit
+    def d_fwd(p, x):
+        return D.apply({"params": p}, x, False)
+
+    @jax.jit
+    def d_grad(p, x):
+        def loss(pp):
+            logit, _, _ = D.apply({"params": pp}, x, False)
+            return jnp.mean(jnp.square(logit.astype(jnp.float32)))
+
+        return jax.grad(loss)(p)
+
+    @jax.jit
+    def r1_grad(p, x):
+        from lcgan_tpu.losses import r1_penalty_with_logits
+
+        def loss(pp):
+            _, r1 = r1_penalty_with_logits(lambda im: D.apply({"params": pp}, im, False)[0], x)
+            return jnp.mean(r1)
+
+        return jax.grad(loss)(p)
+
+    print(f"res={args.res} b={b} warp_impl={cfg.warp_impl}", flush=True)
+    print(f"G fwd   : {timeit(g_fwd, g_vars, z1, z2):8.1f} ms", flush=True)
+    print(f"G grad  : {timeit(g_grad, g_vars, z1, z2, n=6):8.1f} ms", flush=True)
+    print(f"D fwd   : {timeit(d_fwd, state.d_params, img):8.1f} ms", flush=True)
+    print(f"D grad  : {timeit(d_grad, state.d_params, img, n=6):8.1f} ms", flush=True)
+    print(f"R1 grad : {timeit(r1_grad, state.d_params, img, n=6):8.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
