@@ -25,16 +25,27 @@ features) or ±1e9 (for coordinates) — either way the cubic kernel's compact
 support (K(t) = 0 for |t| ≥ 2) makes their contribution exactly zero, so no
 masking code exists anywhere.
 
-The backward is two more kernels under ``jax.custom_vjp``:
-  * d/dx — the transposed band operator, gridded over INPUT tiles, reading
-    a halo'd cotangent slab. The per-band y-weight enters as
-    ``(g ∘ ay_row) @ AXB`` — multiplying the contracted dim of the cotangent
-    instead of building diag(ay), which keeps everything row-oriented (no
-    in-kernel transposes in the hot loop).
-  * d/dgrid — forward-style band sweep with the analytic cubic derivative
-    K′ (matching torch's grid_sampler backward), reduced against the
-    cotangent over channels.
-No scatter appears anywhere; every pass is band matmuls from VMEM.
+The key throughput lever is m-packing: the rhs weight matrix is shared
+across the whole band, so npack = 256/C consecutive band rows go through
+ONE (npack·C, S) @ (S, TL) matmul — full MXU row utilization even at
+C = 32. The source is reshaped in HBM to (B, Hp/npack, npack·C, W) so
+slabs arrive pre-packed (Mosaic cannot reshape sliced values in-kernel),
+and band windows are walked pack-aligned: out-of-band rows get K = 0
+weights from the cubic kernel's compact support, so the slack is free.
+
+The backward is more kernels under ``jax.custom_vjp``:
+  * d/dgrid — forward-style packed band sweep with [K′ | K]
+    column-stacked in one rhs (both coordinate gradients per matmul),
+    reduced against the cotangent over channels.
+  * d/dx at C ≥ 128 — the transposed band gridded over INPUT tiles
+    reading a halo'd cotangent slab; per-band y-weights multiply the
+    contracted dim of the cotangent ((g ∘ ay_row) @ AXB).
+  * d/dx at C < 128 — scatter-style over OUTPUT tiles, where the per-row
+    x-weight rhs IS shared, so packed contributions from one matmul
+    accumulate into a fp32 VMEM slab that is DMA'd out whole; a small
+    static overlap-add in XLA composes the halo'd slabs.
+No data-dependent scatter appears anywhere; every pass is band matmuls
+from VMEM.
 
 Compile time is flat in resolution (one kernel, no per-tile Python
 unrolling). Use ``interpret=True`` to run/test on CPU.
@@ -51,13 +62,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 _A = -0.75  # torch's cubic convolution constant (UpSample.h)
 _FAR = 1e9  # fx/fy pad value; |t| ≥ 2 ⇒ K(t) = 0, so padded positions vanish
-_NWAY = 4  # interleaved band accumulators (MXU pipeline overlap)
+_NWAY = 4  # interleaved band accumulators (gather-dx kernel)
+_MAX_PAD_ROWS = 7  # worst-case band padding any interleave factor can need
 
 
-def _overshoot(m: int) -> int:
-    """Rows the NWAY-padded band loop reads past 2m+1 (zero-weight rows)."""
+def _npack(c: int) -> int:
+    """Band rows packed along the matmul m-dim per MXU op.
+
+    The rhs (cubic x-weights) is shared across the whole band, so npack
+    consecutive band rows go through one (npack·C, S) @ (S, TL) matmul.
+    The packing happens in HBM: the padded source is reshaped (free,
+    row-major compatible) to (B, Hp/npack, npack·C, W) so slabs arrive
+    pre-packed — Mosaic cannot reshape a sliced value in-kernel. Band
+    windows are walked pack-ALIGNED; rows outside [r, r+band) get K = 0
+    y-weights by the displacement bound, so alignment slack is free.
+    Target m ≈ 256 (two full MXU row tiles) — unpacked, the flagship
+    blocks stream only C = 128/64/32 rows and waste most of the array.
+    """
+    return max(1, min(8, 256 // max(c, 1)))
+
+
+def _overshoot(m: int, nway: int = _NWAY) -> int:
+    """Rows the gather-dx padded band loop reads past 2m+1 (zero-weight)."""
     band = 2 * m + 1
-    return (band + _NWAY - 1) // _NWAY * _NWAY - band
+    return (band + nway - 1) // nway * nway - band
+
+
+def _pack_geom(h: int, rows: int, m: int, npack: int):
+    """(packs_per_band, slab_packs, padded_height) for the packed layout."""
+    band = 2 * m + 1
+    pb = (band + 2 * npack - 2) // npack  # pack-aligned cover of any band
+    pb = pb + (pb & 1)  # even: the band loop unrolls two packs per body
+    p_slab = (rows - 1) // npack + pb
+    hp = (h // rows - 1) * rows + p_slab * npack  # ≥ h + 2m, npack-aligned
+    return pb, p_slab, hp
 
 
 def _k(t: jax.Array) -> jax.Array:
@@ -112,16 +150,16 @@ def _tiles(h: int, w: int, c: int, m: int, itemsize: int, extra_row_bytes: int =
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, m, c):
-    band = 2 * m + 1
+def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, m, c, pb):
+    npack = _npack(c)
     b = pl.program_id(0)
     rb = pl.program_id(1)
     xt = pl.program_id(2)
+    p_slab = slab.shape[0]
 
     x_off = pl.multiple_of(xt * tl, 128)  # single tile ⇒ 0; else tl == 128
-    src = xp_ref.at[
-        b, pl.ds(rb * rows, rows + 2 * m + _overshoot(m)), :, pl.ds(x_off, s_dma)
-    ]
+    # xp is pre-packed (B, Hp/npack, npack·C, Wp); slab rows are PACKS
+    src = xp_ref.at[b, pl.ds(rb * (rows // npack), p_slab), :, pl.ds(x_off, s_dma)]
     pltpu.make_async_copy(src, slab, sem).start()
     pltpu.make_async_copy(src, slab, sem).wait()
 
@@ -134,31 +172,33 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
         fxr = fx_ref[0, pl.ds(r, 1), :]  # (1, TL)
         fyr = fy_ref[0, pl.ds(r, 1), :]
         ax_t = _k(fxr - scol).astype(cdt)  # (S, TL)
-        rowf = y0 + r.astype(jnp.float32)
+        p0 = r // npack  # first pack-aligned window covering the band
 
         def band_body(i, carry):
-            # NWAY interleaved accumulators break the serial dependency chain
-            # between consecutive band matmuls so they overlap in the MXU
-            # pipeline. The band is padded up to a multiple of NWAY: the
-            # extra rows read padded zeros AND get K=0 y-weights, so no
-            # peeling logic is needed. ax_t is shared across the band, so
-            # each matmul is pure (no VPU-built weight on its input path);
-            # the per-j y-weight is a column scale of the OUTPUT, which the
-            # VPU applies while the next matmul streams.
-            accs = []
-            for q in range(_NWAY):
-                j = i * _NWAY + q
-                p = jax.lax.dot(slab[r + j], ax_t, preferred_element_type=jnp.float32)
-                ayj = _k(fyr - (rowf + j.astype(jnp.float32)))  # (1, TL) fp32
-                accs.append(carry[q] + ayj * p)
+            # ax_t is shared across the whole band, so each pack of npack
+            # band rows is ONE (npack·C, S) @ (S, TL) matmul — full MXU row
+            # utilization even at C = 32 — and the matmuls are pure (no
+            # accumulator dependency): per-row y-weights scale the output
+            # chunks on the VPU while the next matmul streams. Pack-aligned
+            # slack rows get K = 0 y-weights via the displacement bound.
+            # Two packs per body: loop-body ILP measurably beats one dot
+            # per iteration.
+            accs = list(carry)
+            for u_slot in range(2):
+                pk = p0 + 2 * i + u_slot
+                xs = slab[pk]  # (npack·C, S) — pre-packed, no reshape
+                p = jax.lax.dot(xs, ax_t, preferred_element_type=jnp.float32)
+                uf = pk.astype(jnp.float32) * float(npack)
+                for q in range(npack):
+                    k = u_slot * npack + q
+                    ayj = _k(fyr - (y0 + uf + float(q)))  # (1, TL) fp32
+                    accs[k] = accs[k] + ayj * p[q * c : (q + 1) * c]
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(
-            0, (band + _NWAY - 1) // _NWAY, band_body, (zero,) * _NWAY
-        )
+        accs = jax.lax.fori_loop(0, pb // 2, band_body, (zero,) * (2 * npack))
         acc = accs[0]
-        for q in range(1, _NWAY):
+        for q in range(1, 2 * npack):
             acc = acc + accs[q]
         out_ref[0, r] = acc.astype(out_ref.dtype)
         return 0
@@ -172,16 +212,17 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
 
 
 def _dgrid_kernel(
-    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, slab, sem, *, rows, tl, s_dma, m, c
+    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, slab, sem, *, rows, tl, s_dma, m, c, pb
 ):
     """Forward-style band sweep with K′; reduce against cotangent over C."""
-    band = 2 * m + 1
     b = pl.program_id(0)
     rb = pl.program_id(1)
     xt = pl.program_id(2)
 
+    npack = _npack(c)
+    p_slab = slab.shape[0]
     x_off = pl.multiple_of(xt * tl, 128)  # single tile ⇒ 0; else tl == 128
-    src = xp_ref.at[b, pl.ds(rb * rows, rows + 2 * m + _overshoot(m)), :, pl.ds(x_off, s_dma)]
+    src = xp_ref.at[b, pl.ds(rb * (rows // npack), p_slab), :, pl.ds(x_off, s_dma)]
     pltpu.make_async_copy(src, slab, sem).start()
     pltpu.make_async_copy(src, slab, sem).wait()
 
@@ -194,36 +235,44 @@ def _dgrid_kernel(
         fxr = fx_ref[0, pl.ds(r, 1), :]
         fyr = fy_ref[0, pl.ds(r, 1), :]
         tx = fxr - scol  # (S, TL)
-        ax_t = _k(tx).astype(cdt)
-        dax_t = _dk(tx).astype(cdt)
-        rowf = y0 + r.astype(jnp.float32)
+        # ONE matmul per npack band rows with [K' | K] column-stacked rhs:
+        # (npack·C, S) @ (S, 2TL) — both the dfx and dfy contractions for
+        # npack pre-packed rows in a single full-m MXU op; y-weights
+        # split/scale the output chunks on the VPU.
+        ax2 = jnp.concatenate((_dk(tx), _k(tx)), axis=1).astype(cdt)  # (S, 2TL)
+        p0 = r // npack
 
         def band_body(i, carry):
-            # 2-way j interleave x {x, y} targets = 4 concurrent MXU chains.
-            # Both weight products factor as (shared rhs matmul) x (per-j
-            # output column scale), keeping the MXU input path VPU-free.
             accs = list(carry)
-            for q in range(2):
-                j = i * 2 + q
-                xs = slab[r + j]  # (C, S)
-                ty = fyr - (rowf + j.astype(jnp.float32))  # (1, TL)
-                px = jax.lax.dot(xs, dax_t, preferred_element_type=jnp.float32)
-                py = jax.lax.dot(xs, ax_t, preferred_element_type=jnp.float32)
-                accs[2 * q] = accs[2 * q] + _k(ty) * px  # ∂/∂fx
-                accs[2 * q + 1] = accs[2 * q + 1] + _dk(ty) * py  # ∂/∂fy
+            for u_slot in range(2):
+                pk = p0 + 2 * i + u_slot
+                xs = slab[pk]  # (npack·C, S)
+                p2 = jax.lax.dot(xs, ax2, preferred_element_type=jnp.float32)
+                uf = pk.astype(jnp.float32) * float(npack)
+                for q in range(npack):
+                    k = 2 * (u_slot * npack + q)
+                    ty = fyr - (y0 + uf + float(q))  # (1, TL)
+                    pq = p2[q * c : (q + 1) * c]
+                    accs[k] = accs[k] + _k(ty) * pq[:, :tl]  # ∂/∂fx
+                    accs[k + 1] = accs[k + 1] + _dk(ty) * pq[:, tl:]  # ∂/∂fy
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(0, (band + 1) // 2, band_body, (zero,) * 4)
+        accs = jax.lax.fori_loop(0, pb // 2, band_body, (zero,) * (4 * npack))
         gr = g_ref[0, r].astype(jnp.float32)  # (C, TL)
-        dfx_ref[0, r] = jnp.sum(gr * (accs[0] + accs[2]), axis=0)
-        dfy_ref[0, r] = jnp.sum(gr * (accs[1] + accs[3]), axis=0)
+        acc_x = accs[0]
+        acc_y = accs[1]
+        for q in range(1, 2 * npack):
+            acc_x = acc_x + accs[2 * q]
+            acc_y = acc_y + accs[2 * q + 1]
+        dfx_ref[0, r] = jnp.sum(gr * acc_x, axis=0)
+        dfy_ref[0, r] = jnp.sum(gr * acc_y, axis=0)
         return 0
 
     jax.lax.fori_loop(0, rows, row_body, 0)
 
 
-def _dx_kernel(
+def _dx_gather_kernel(
     fxp_ref, fyp_ref, gp_ref, dx_ref, gslab, fxs, fys, axb, sem, *, rows, tl, s_dma, m, c
 ):
     """Transposed band: each INPUT row gathers from the 2M+1 output rows
@@ -292,9 +341,120 @@ def _dx_kernel(
     jax.lax.fori_loop(0, rows, row_body, 0)
 
 
+def _dx_scatter_kernel(
+    fx_ref, fy_ref, g_ref, out_ref, dslab, sem, *, rows, tl, s_dma, m, c, pb
+):
+    """d/dx as a scatter-style band: gridded over OUTPUT tiles, where the
+    per-row x-weight matrix ax_rᵀ is shared across the whole band — so npack
+    input rows' contributions come from ONE (npack·C, TL) @ (TL, S) matmul,
+    accumulated into a VMEM slab of pre-packed input rows. Overlapping
+    slabs (row/col halos) are composed by a small static overlap-add in XLA
+    afterwards. Rows outside each output row's band get K = 0 y-weights, so
+    pack alignment costs nothing and no masking code exists.
+
+    ax_rᵀ needs fx varying along sublanes; the row weight matrix is built
+    row-oriented like the forward's and transposed once per row (a 2D value
+    transpose Mosaic lowers natively — dynamic lane-dim indexing of a
+    transposed fx input is NOT provably 128-aligned and does not compile).
+    """
+    npack = _npack(c)
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    xt = pl.program_id(2)
+    y0 = (rb * rows - m).astype(jnp.float32)  # abs input row of slab row 0
+    x0 = (xt * tl - m).astype(jnp.float32)  # abs input col of slab col 0
+    scol = jax.lax.broadcasted_iota(jnp.int32, (s_dma, tl), 0).astype(jnp.float32) + x0
+    cdt = g_ref.dtype
+
+    dslab[...] = jnp.zeros_like(dslab)
+
+    def row_body(r, _):
+        fxr = fx_ref[0, pl.ds(r, 1), :]  # (1, TL)
+        fyr = fy_ref[0, pl.ds(r, 1), :]
+        ax_rt = jnp.transpose(_k(fxr - scol).astype(cdt))  # (TL, S)
+        g_r = g_ref[0, r]  # (C, TL)
+        p0 = r // npack
+
+        def band_body(i, _):
+            for u_slot in range(2):
+                pk = p0 + 2 * i + u_slot
+                uf = pk.astype(jnp.float32) * float(npack)
+                chunks = []
+                for q in range(npack):
+                    ayq = _k(fyr - (y0 + uf + float(q))).astype(cdt)  # (1, TL)
+                    chunks.append(g_r * ayq)  # (C, TL)
+                lhs = chunks[0] if npack == 1 else jnp.concatenate(chunks, axis=0)
+                p = jax.lax.dot(lhs, ax_rt, preferred_element_type=jnp.float32)
+                dslab[pk] = dslab[pk] + p  # (npack·C, S)
+            return 0
+
+        jax.lax.fori_loop(0, pb // 2, band_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, rows, row_body, 0)
+    # out lives in ANY/HBM and is written by one DMA — keeping it out of the
+    # pipeline frees VMEM for the fp32 accumulator (bigger row blocks, less
+    # halo amplification in the overlap-add)
+    cp = pltpu.make_async_copy(dslab, out_ref.at[b, rb, xt], sem)
+    cp.start()
+    cp.wait()
+
+
 # --------------------------------------------------------------------------
 # host-side wrappers
 # --------------------------------------------------------------------------
+
+
+def _pick_rows_dx(h: int, w: int, c: int, m: int, itemsize: int) -> int:
+    """Row block for the scatter dx kernel: the fp32 accumulator slab must
+    fit ~12MB of VMEM (the output is DMA'd straight from it)."""
+    del itemsize
+    npack = _npack(c)
+    tl = min(w, 128)
+    s_dma = _round_up(tl + 2 * m, 128)
+    r = h
+    while r > 8:
+        _, p_dx, _ = _pack_geom(h, min(r, h), m, npack)
+        if p_dx * npack * max(c, 8) * s_dma * 4 <= 9 * 1024 * 1024:
+            break
+        r //= 2
+    return max(min(r, h), npack)
+
+
+def _overlap_add(slabs: jax.Array, h: int, w: int, c: int, m: int, rows: int, tl: int, npack: int):
+    """Compose the dx kernel's overlapping per-tile slabs into (B, H, W, C).
+
+    Slab (rb, xt) covers input rows [rb·rows − m, …) and cols
+    [xt·tl − m, …): fold the row/col chunk overlaps with a static number
+    (≤ 4 each) of shifted adds, then crop the M-halo.
+    """
+    bdim, nrb, nxt, p_dx, nc, s_dma = slabs.shape
+    rows_full = p_dx * npack
+    sl = slabs.reshape(bdim, nrb, nxt, rows_full, c, s_dma)
+
+    # --- fold columns across xt (slab col s ↔ abs col xt·tl − m + s) ---
+    nch2 = -(-s_dma // tl)
+    sl = jnp.pad(sl, ((0, 0),) * 5 + ((0, nch2 * tl - s_dma),))
+    sl = sl.reshape(bdim, nrb, nxt, rows_full, c, nch2, tl)
+    sl = jnp.transpose(sl, (0, 1, 3, 4, 2, 5, 6))  # (B, nrb, RF, C, nxt, nch2, tl)
+    colacc = jnp.zeros(
+        (bdim, nrb, rows_full, c, nxt + nch2 - 1, tl), sl.dtype
+    )
+    for k2 in range(nch2):
+        colacc = colacc.at[:, :, :, :, k2 : k2 + nxt, :].add(sl[..., k2, :])
+    colacc = colacc.reshape(bdim, nrb, rows_full, c, (nxt + nch2 - 1) * tl)
+    colacc = colacc[..., m : m + w]  # crop the column halo
+
+    # --- fold rows across rb (slab row u ↔ abs row rb·rows − m + u) ---
+    nch1 = -(-rows_full // rows)
+    colacc = jnp.pad(colacc, ((0, 0), (0, 0), (0, nch1 * rows - rows_full), (0, 0), (0, 0)))
+    colacc = colacc.reshape(bdim, nrb, nch1, rows, c, w)
+    rowacc = jnp.zeros((bdim, nrb + nch1 - 1, rows, c, w), colacc.dtype)
+    for k1 in range(nch1):
+        rowacc = rowacc.at[:, k1 : k1 + nrb].add(colacc[:, :, k1])
+    rowacc = rowacc.reshape(bdim, (nrb + nch1 - 1) * rows, c, w)
+    rowacc = rowacc[:, m : m + h]  # crop the row halo
+    return jnp.transpose(rowacc, (0, 1, 3, 2))  # NHWC
 
 
 def _coords(grid: jax.Array, h: int, w: int):
@@ -305,17 +465,28 @@ def _coords(grid: jax.Array, h: int, w: int):
     return fx, fy
 
 
+def _packed_input(x_t: jax.Array, h: int, w: int, m: int, rows: int, wpad: int, npack: int):
+    """Pad (B, H, C, W) and reshape rows into packs: (B, Hp/npack, npack·C, Wp).
+
+    The reshape is free in HBM (row-major compatible); it exists because
+    Mosaic cannot reshape a dynamically sliced value inside the kernel.
+    """
+    bdim, _, c, _ = x_t.shape
+    _, p_slab, hp = _pack_geom(h, rows, m, npack)
+    xp = jnp.pad(x_t, ((0, 0), (m, hp - h - m), (0, 0), (m, wpad - w - m)))
+    return xp.reshape(bdim, hp // npack, npack * c, wpad), p_slab
+
+
 def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool):
     b, h, w, c = x.shape
     fx, fy = _coords(grid, h, w)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, x.dtype.itemsize)
-    xp = jnp.pad(
-        jnp.transpose(x, (0, 1, 3, 2)),
-        ((0, 0), (m, m + _overshoot(m)), (0, 0), (m, wpad - w - m)),
-    )
+    npack = _npack(c)
+    pb, p_slab, _ = _pack_geom(h, rows, m, npack)
+    xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c),
+        functools.partial(_fwd_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb),
         grid=(b, h // rows, w // tl),
         in_specs=[
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
@@ -327,7 +498,7 @@ def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, c, w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2 * m + _overshoot(m), c, s_dma), x.dtype),
+            pltpu.VMEM((p_slab, npack * c, s_dma), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -359,14 +530,16 @@ def _vjp_bwd(max_disp, interpret, res, g):
     xp, fx, fy, grid_tok = res
     x_dtype, grid_dtype = xp.dtype, grid_tok.dtype
     b, h, w = fx.shape
-    c = xp.shape[2]
+    c = g.shape[-1]  # xp is packed (npack·C rows) — read C off the cotangent
     itemsize = jnp.dtype(x_dtype).itemsize
     g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(x_dtype)  # (B, H, C, W)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, itemsize)
+    npack = _npack(c)
+    pb, p_slab, _ = _pack_geom(h, rows, m, npack)
 
     # ---- d/dgrid: forward-style sweep with K' ----
     dfx, dfy = pl.pallas_call(
-        functools.partial(_dgrid_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c),
+        functools.partial(_dgrid_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb),
         grid=(b, h // rows, w // tl),
         in_specs=[
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
@@ -385,51 +558,85 @@ def _vjp_bwd(max_disp, interpret, res, g):
             jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2 * m + _overshoot(m), c, s_dma), x_dtype),
+            pltpu.VMEM((p_slab, npack * c, s_dma), x_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(fx, fy, g_t, xp)
 
-    # ---- d/dx: transposed band over input tiles ----
-    # AXB scratch costs s_dma·tl per slab row on top of the cotangent slab;
-    # fold it into the row-block budget.
-    rows_dx, _, _, _ = _tiles(
-        h, w, c, m, itemsize, extra_row_bytes=s_dma * tl * itemsize + 2 * s_dma * 4
-    )
-    srows = rows_dx + 2 * m + _overshoot(m)
-    gp = jnp.pad(g_t, ((0, 0), (m, m + _overshoot(m)), (0, 0), (m, wpad - w - m)))
-    # 4D with a singleton sublane dim so the row dim stays a freely-sliceable
-    # major axis; pad coords with ±1e9 (exact zero weight via compact support)
-    pad_b = m + _overshoot(m)
-    fxp = jnp.pad(
-        fx[:, :, None, :], ((0, 0), (m, pad_b), (0, 0), (m, wpad - w - m)), constant_values=_FAR
-    )
-    fyp = jnp.pad(
-        fy[:, :, None, :], ((0, 0), (m, pad_b), (0, 0), (m, wpad - w - m)), constant_values=_FAR
-    )
-    dx_t = pl.pallas_call(
-        functools.partial(_dx_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c),
-        grid=(b, h // rows_dx, w // tl),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rows_dx, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, c, w), x_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((srows, c, s_dma), x_dtype),
-            pltpu.VMEM((srows, 1, s_dma), jnp.float32),
-            pltpu.VMEM((srows, 1, s_dma), jnp.float32),
-            pltpu.VMEM((srows, s_dma, tl), x_dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        interpret=interpret,
-    )(fxp, fyp, gp)
-    dx = jnp.transpose(dx_t, (0, 1, 3, 2))
+    if c >= 128:
+        # gather-dx: transposed band over input tiles. At C >= 128 its
+        # matmuls already stream full MXU rows and it avoids the scatter
+        # path's HBM slab round-trip (measured faster at 256**2 c128).
+        # AXB scratch costs s_dma·tl per slab row on top of the cotangent slab;
+        # fold it into the row-block budget.
+        rows_dx, _, _, _ = _tiles(
+            h, w, c, m, itemsize, extra_row_bytes=s_dma * tl * itemsize + 2 * s_dma * 4
+        )
+        srows = rows_dx + 2 * m + _overshoot(m)
+        gp = jnp.pad(g_t, ((0, 0), (m, m + _overshoot(m)), (0, 0), (m, wpad - w - m)))
+        # 4D with a singleton sublane dim so the row dim stays a freely-sliceable
+        # major axis; pad coords with ±1e9 (exact zero weight via compact support)
+        pad_b = m + _overshoot(m)
+        fxp = jnp.pad(
+            fx[:, :, None, :], ((0, 0), (m, pad_b), (0, 0), (m, wpad - w - m)), constant_values=_FAR
+        )
+        fyp = jnp.pad(
+            fy[:, :, None, :], ((0, 0), (m, pad_b), (0, 0), (m, wpad - w - m)), constant_values=_FAR
+        )
+        dx_t = pl.pallas_call(
+            functools.partial(_dx_gather_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c),
+            grid=(b, h // rows_dx, w // tl),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_dx, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, c, w), x_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((srows, c, s_dma), x_dtype),
+                pltpu.VMEM((srows, 1, s_dma), jnp.float32),
+                pltpu.VMEM((srows, 1, s_dma), jnp.float32),
+                pltpu.VMEM((srows, s_dma, tl), x_dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            interpret=interpret,
+        )(fxp, fyp, gp)
+        dx = jnp.transpose(dx_t, (0, 1, 3, 2))
+    else:
+        # scatter-dx: gridded over output tiles + XLA overlap-add. At
+        # C < 128 the gather path wastes most MXU rows (per-band-row rhs
+        # defeats m-packing); here the per-row rhs is shared so packs fill
+        # the array.
+        rows_dx = _pick_rows_dx(h, w, c, m, itemsize)
+        pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack)
+        nrb, nxt = h // rows_dx, w // tl
+        nc = npack * c
+        slabs = pl.pallas_call(
+            functools.partial(
+                _dx_scatter_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb_dx
+            ),
+            grid=(b, nrb, nxt),
+            in_specs=[
+                pl.BlockSpec((1, rows_dx, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows_dx, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, rows_dx, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((b, nrb, nxt, p_dx, nc, s_dma), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((p_dx, nc, s_dma), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(fx, fy, g_t)
+        dx = _overlap_add(slabs, h, w, c, m, rows_dx, tl, npack).astype(x_dtype)
+
 
     # chain through the align_corners=False unnormalization
     dgrid = jnp.stack([dfx * (w * 0.5), dfy * (h * 0.5)], axis=-1).astype(grid_dtype)

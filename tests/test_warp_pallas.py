@@ -24,6 +24,7 @@ SHAPES = [
     ((1, 8, 8, 32), 0.1),
     ((2, 32, 64, 16), 0.05),
     ((1, 16, 256, 8), 0.05),  # multi-x-tile: exercises 128-aligned DMA windows
+    ((1, 16, 16, 128), 0.1),  # c >= 128: exercises the gather-dx backward path
 ]
 
 
@@ -44,7 +45,7 @@ def test_fwd_matches_gather_oracle(shape, mfs, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
-@pytest.mark.parametrize("shape,mfs", SHAPES[:2] + SHAPES[3:])
+@pytest.mark.parametrize("shape,mfs", SHAPES[:2] + SHAPES[3:])  # both dx paths
 def test_grads_match_banded(shape, mfs, rng):
     x, grid, m = _case(shape, mfs, rng)
     cot = jnp.asarray(rng.standard_normal(shape), jnp.float32)

@@ -80,6 +80,12 @@ def probe(res: int, batch: int):
 
 
 def main():
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except RuntimeError:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, nargs="+", default=[256, 512, 1024])
     ap.add_argument("--batch", type=int, default=16)

@@ -40,6 +40,12 @@ def timeit(fn, *args, n=20):
 
 
 def main():
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except RuntimeError:
+        pass
     rng = np.random.default_rng(0)
     for b, hw, c in SHAPES:
         m = max_warp_displacement(hw, 0.1)

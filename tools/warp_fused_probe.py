@@ -33,6 +33,12 @@ def timeit(fn, *args, n=6):
 
 
 def main():
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except RuntimeError:
+        pass
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     for b, hw, c in [(8, 256, 128), (8, 512, 64), (4, 1024, 32)]:
