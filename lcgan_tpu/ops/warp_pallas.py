@@ -63,7 +63,9 @@ from jax.experimental.pallas import tpu as pltpu
 _A = -0.75  # torch's cubic convolution constant (UpSample.h)
 _FAR = 1e9  # fx/fy pad value; |t| ≥ 2 ⇒ K(t) = 0, so padded positions vanish
 _NWAY = 4  # interleaved band accumulators (gather-dx kernel)
-_MAX_PAD_ROWS = 7  # worst-case band padding any interleave factor can need
+def _unroll(c: int) -> int:
+    """Packs per band-loop body (loop-body ILP); measured best per width."""
+    return 2 if c >= 128 else 4
 
 
 def _npack(c: int) -> int:
@@ -88,11 +90,11 @@ def _overshoot(m: int, nway: int = _NWAY) -> int:
     return (band + nway - 1) // nway * nway - band
 
 
-def _pack_geom(h: int, rows: int, m: int, npack: int):
+def _pack_geom(h: int, rows: int, m: int, npack: int, unroll: int = 2):
     """(packs_per_band, slab_packs, padded_height) for the packed layout."""
     band = 2 * m + 1
     pb = (band + 2 * npack - 2) // npack  # pack-aligned cover of any band
-    pb = pb + (pb & 1)  # even: the band loop unrolls two packs per body
+    pb = (pb + unroll - 1) // unroll * unroll  # the band loop unrolls this many packs/body
     p_slab = (rows - 1) // npack + pb
     hp = (h // rows - 1) * rows + p_slab * npack  # ≥ h + 2m, npack-aligned
     return pb, p_slab, hp
@@ -152,6 +154,7 @@ def _tiles(h: int, w: int, c: int, m: int, itemsize: int, extra_row_bytes: int =
 
 def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, m, c, pb):
     npack = _npack(c)
+    unroll = _unroll(c)
     b = pl.program_id(0)
     rb = pl.program_id(1)
     xt = pl.program_id(2)
@@ -184,8 +187,8 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
             # Two packs per body: loop-body ILP measurably beats one dot
             # per iteration.
             accs = list(carry)
-            for u_slot in range(2):
-                pk = p0 + 2 * i + u_slot
+            for u_slot in range(unroll):
+                pk = p0 + unroll * i + u_slot
                 xs = slab[pk]  # (npack·C, S) — pre-packed, no reshape
                 p = jax.lax.dot(xs, ax_t, preferred_element_type=jnp.float32)
                 uf = pk.astype(jnp.float32) * float(npack)
@@ -196,9 +199,9 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(0, pb // 2, band_body, (zero,) * (2 * npack))
+        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (unroll * npack))
         acc = accs[0]
-        for q in range(1, 2 * npack):
+        for q in range(1, unroll * npack):
             acc = acc + accs[q]
         out_ref[0, r] = acc.astype(out_ref.dtype)
         return 0
@@ -215,6 +218,7 @@ def _dgrid_kernel(
     fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, slab, sem, *, rows, tl, s_dma, m, c, pb
 ):
     """Forward-style band sweep with K′; reduce against cotangent over C."""
+    unroll = _unroll(c)
     b = pl.program_id(0)
     rb = pl.program_id(1)
     xt = pl.program_id(2)
@@ -244,8 +248,8 @@ def _dgrid_kernel(
 
         def band_body(i, carry):
             accs = list(carry)
-            for u_slot in range(2):
-                pk = p0 + 2 * i + u_slot
+            for u_slot in range(unroll):
+                pk = p0 + unroll * i + u_slot
                 xs = slab[pk]  # (npack·C, S)
                 p2 = jax.lax.dot(xs, ax2, preferred_element_type=jnp.float32)
                 uf = pk.astype(jnp.float32) * float(npack)
@@ -258,11 +262,11 @@ def _dgrid_kernel(
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(0, pb // 2, band_body, (zero,) * (4 * npack))
+        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (2 * unroll * npack))
         gr = g_ref[0, r].astype(jnp.float32)  # (C, TL)
         acc_x = accs[0]
         acc_y = accs[1]
-        for q in range(1, 2 * npack):
+        for q in range(1, unroll * npack):
             acc_x = acc_x + accs[2 * q]
             acc_y = acc_y + accs[2 * q + 1]
         dfx_ref[0, r] = jnp.sum(gr * acc_x, axis=0)
@@ -358,6 +362,7 @@ def _dx_scatter_kernel(
     transposed fx input is NOT provably 128-aligned and does not compile).
     """
     npack = _npack(c)
+    unroll = _unroll(c)
     b = pl.program_id(0)
     rb = pl.program_id(1)
     xt = pl.program_id(2)
@@ -376,8 +381,8 @@ def _dx_scatter_kernel(
         p0 = r // npack
 
         def band_body(i, _):
-            for u_slot in range(2):
-                pk = p0 + 2 * i + u_slot
+            for u_slot in range(unroll):
+                pk = p0 + unroll * i + u_slot
                 uf = pk.astype(jnp.float32) * float(npack)
                 chunks = []
                 for q in range(npack):
@@ -388,7 +393,7 @@ def _dx_scatter_kernel(
                 dslab[pk] = dslab[pk] + p  # (npack·C, S)
             return 0
 
-        jax.lax.fori_loop(0, pb // 2, band_body, 0)
+        jax.lax.fori_loop(0, pb // unroll, band_body, 0)
         return 0
 
     jax.lax.fori_loop(0, rows, row_body, 0)
@@ -414,7 +419,7 @@ def _pick_rows_dx(h: int, w: int, c: int, m: int, itemsize: int) -> int:
     s_dma = _round_up(tl + 2 * m, 128)
     r = h
     while r > 8:
-        _, p_dx, _ = _pack_geom(h, min(r, h), m, npack)
+        _, p_dx, _ = _pack_geom(h, min(r, h), m, npack, _unroll(c))
         if p_dx * npack * max(c, 8) * s_dma * 4 <= 9 * 1024 * 1024:
             break
         r //= 2
@@ -472,7 +477,7 @@ def _packed_input(x_t: jax.Array, h: int, w: int, m: int, rows: int, wpad: int, 
     Mosaic cannot reshape a dynamically sliced value inside the kernel.
     """
     bdim, _, c, _ = x_t.shape
-    _, p_slab, hp = _pack_geom(h, rows, m, npack)
+    _, p_slab, hp = _pack_geom(h, rows, m, npack, _unroll(x_t.shape[2]))
     xp = jnp.pad(x_t, ((0, 0), (m, hp - h - m), (0, 0), (m, wpad - w - m)))
     return xp.reshape(bdim, hp // npack, npack * c, wpad), p_slab
 
@@ -482,7 +487,7 @@ def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool):
     fx, fy = _coords(grid, h, w)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, x.dtype.itemsize)
     npack = _npack(c)
-    pb, p_slab, _ = _pack_geom(h, rows, m, npack)
+    pb, p_slab, _ = _pack_geom(h, rows, m, npack, _unroll(c))
     xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
 
     out = pl.pallas_call(
@@ -503,7 +508,7 @@ def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool):
         ],
         interpret=interpret,
     )(fx, fy, xp)
-    return jnp.transpose(out, (0, 1, 3, 2)), (xp, fx, fy)
+    return jnp.transpose(out, (0, 1, 3, 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -516,26 +521,29 @@ def grid_sample_bicubic_pallas(
     (use :func:`lcgan_tpu.ops.grid_sample.max_warp_displacement`). H and W
     must be divisible by the row/col tiles (powers of two always are).
     """
-    out, _ = _fwd_call(x, grid, int(max_disp), interpret)
-    return out
+    return _fwd_call(x, grid, int(max_disp), interpret)
 
 
 def _vjp_fwd(x, grid, max_disp, interpret):
-    out, (xp, fx, fy) = _fwd_call(x, grid, int(max_disp), interpret)
-    return out, (xp, fx, fy, jnp.zeros((0,), grid.dtype))
+    # Residuals are EXACTLY the primal inputs: partial-eval then resolves
+    # them to the original arrays instead of outputs of this call, so under
+    # jax.checkpoint/remat the recompute graph DCEs the forward kernel
+    # entirely (xp is rebuilt in bwd — a pad/transpose, ~1ms vs a kernel).
+    return _fwd_call(x, grid, int(max_disp), interpret), (x, grid)
 
 
 def _vjp_bwd(max_disp, interpret, res, g):
     m = int(max_disp)
-    xp, fx, fy, grid_tok = res
-    x_dtype, grid_dtype = xp.dtype, grid_tok.dtype
-    b, h, w = fx.shape
-    c = g.shape[-1]  # xp is packed (npack·C rows) — read C off the cotangent
+    x, grid = res
+    x_dtype, grid_dtype = x.dtype, grid.dtype
+    b, h, w, c = x.shape
     itemsize = jnp.dtype(x_dtype).itemsize
+    fx, fy = _coords(grid, h, w)
     g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(x_dtype)  # (B, H, C, W)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, itemsize)
     npack = _npack(c)
-    pb, p_slab, _ = _pack_geom(h, rows, m, npack)
+    pb, p_slab, _ = _pack_geom(h, rows, m, npack, _unroll(c))
+    xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
 
     # ---- d/dgrid: forward-style sweep with K' ----
     dfx, dfy = pl.pallas_call(
@@ -612,7 +620,7 @@ def _vjp_bwd(max_disp, interpret, res, g):
         # defeats m-packing); here the per-row rhs is shared so packs fill
         # the array.
         rows_dx = _pick_rows_dx(h, w, c, m, itemsize)
-        pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack)
+        pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack, _unroll(c))
         nrb, nxt = h // rows_dx, w // tl
         nc = npack * c
         slabs = pl.pallas_call(

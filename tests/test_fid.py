@@ -315,3 +315,43 @@ def test_full_inception_parity_vs_torch(tmp_path, in_size):
 
     assert got.shape == (2, 2048)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_fid_evaluate_under_mesh(tmp_path):
+    """VERDICT weak #7: fid under a device mesh — generate runs with
+    replicated state on all 8 fake devices and the FID value is finite."""
+    from PIL import Image
+
+    from lcgan_tpu.config import Config
+    from lcgan_tpu.eval.fid import fid_evaluate
+    from lcgan_tpu.parallel import make_mesh
+    from lcgan_tpu.train.steps import Trainer
+
+    droot = tmp_path / "ds" / "train" / "x"
+    droot.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(droot / f"{i}.png")
+
+    cfg = Config(
+        phase="fid_eval",
+        dataset_path=str(tmp_path / "ds"),
+        model_name=str(tmp_path / "run"),
+        img_resolution=16,
+        batch_size=16,
+        geo_noise_dim=4,
+        app_noise_dim=4,
+        geo_latent_dim=4,
+        app_latent_dim=8,
+        base_nf=8,
+        max_nf=8,
+        mbstd_group_size=2,
+        compute_dtype="float32",
+        num_data_workers=1,
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(num_devices=8))
+    state = trainer.init_state()
+    fid = fid_evaluate(cfg, trainer, state, num_images=16)
+    assert np.isfinite(fid) and fid >= 0
