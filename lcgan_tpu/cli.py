@@ -109,8 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize G/D blocks in backward (--no-remat_blocks to disable)")
     p.add_argument("--num_data_workers", type=int, default=4, help="host data worker threads")
     p.add_argument("--warp_impl", type=str, default="auto",
-                   choices=["auto", "pallas", "banded"],
-                   help="bicubic-warp backend (auto: fused Pallas kernel on TPU)")
+                   choices=["auto", "pallas", "banded", "none"],
+                   help="bicubic-warp backend (auto: fused Pallas kernel on TPU; "
+                        "none: skip the warp — diagnostic ablations only)")
     p.add_argument("--warp_pallas_min_res", type=int, default=128,
                    help="auto mode: smallest map size routed to the fused kernel")
     p.add_argument("--profile_dir", type=str, default="", help="jax.profiler trace output dir")

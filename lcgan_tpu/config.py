@@ -157,3 +157,9 @@ class Config:
         res = self.img_resolution
         if res < 8 or (res & (res - 1)) != 0:
             raise ValueError(f"img_resolution must be a power of two >= 8, got {res}")
+        # guards hand-edited / resumed config JSON, not just argparse choices;
+        # 'none' skips the warp entirely — diagnostic ablations only
+        if self.warp_impl not in ("auto", "pallas", "banded", "none"):
+            raise ValueError(
+                f"warp_impl must be one of auto|pallas|banded|none, got {self.warp_impl!r}"
+            )
