@@ -53,12 +53,40 @@ unrolling). Use ``interpret=True`` to run/test on CPU.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# ---- trace-time kernel FLOP meter ------------------------------------------
+# XLA's cost_analysis() counts a Pallas kernel as a zero-FLOP custom call, so
+# MFU accounting (bench.py) needs the kernels to self-report. Each call-site
+# notes its exact matmul FLOPs while TRACING (remat re-traces count too, so
+# recompute is included — matching how cost_analysis counts rematerialized
+# convs). `useful` is the 16-tap gather-equivalent work (2 FLOPs/tap/channel),
+# the denominator-free measure of algorithmic overhead of the banded form.
+_flop_accum = None
+
+
+def _note_flops(actual: int, useful: int):
+    if _flop_accum is not None:
+        _flop_accum[0] += actual
+        _flop_accum[1] += useful
+
+
+@contextlib.contextmanager
+def flop_meter():
+    """Collects [actual_kernel_flops, useful_gather_flops] noted while tracing."""
+    global _flop_accum
+    prev = _flop_accum
+    _flop_accum = acc = [0, 0]
+    try:
+        yield acc
+    finally:
+        _flop_accum = prev
 
 _A = -0.75  # torch's cubic convolution constant (UpSample.h)
 _FAR = 1e9  # fx/fy pad value; |t| ≥ 2 ⇒ K(t) = 0, so padded positions vanish
@@ -80,8 +108,14 @@ def _npack(c: int) -> int:
     y-weights by the displacement bound, so alignment slack is free.
     Target m ≈ 256 (two full MXU row tiles) — unpacked, the flagship
     blocks stream only C = 128/64/32 rows and waste most of the array.
+
+    Always a power of two: the pack count must divide the power-of-two
+    row blocks (_pick_rows), or the slab DMA start rb·(rows/npack) would
+    misalign the band origin for multi-row-block maps (non-pow2 channel
+    counts like c=48 would otherwise yield npack=5).
     """
-    return max(1, min(8, 256 // max(c, 1)))
+    raw = max(1, min(8, 256 // max(c, 1)))
+    return 1 << (raw.bit_length() - 1)
 
 
 def _overshoot(m: int, nway: int = _NWAY) -> int:
@@ -119,6 +153,13 @@ def _dk(t: jax.Array) -> jax.Array:
 
 def _round_up(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult
+
+
+def _prec(dt):
+    """fp32 inputs get true-fp32 matmuls — Mosaic's default lowers fp32 dots
+    to bf16-ish fast passes (measured ~3e-3 relative on-device error,
+    tools/warp_check.py round 3); bf16 inputs run native MXU."""
+    return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
 
 def _pick_rows(h: int, m: int, bytes_per_slab_row: int) -> int:
@@ -190,7 +231,7 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
             for u_slot in range(unroll):
                 pk = p0 + unroll * i + u_slot
                 xs = slab[pk]  # (npack·C, S) — pre-packed, no reshape
-                p = jax.lax.dot(xs, ax_t, preferred_element_type=jnp.float32)
+                p = jax.lax.dot(xs, ax_t, preferred_element_type=jnp.float32, precision=_prec(cdt))
                 uf = pk.astype(jnp.float32) * float(npack)
                 for q in range(npack):
                     k = u_slot * npack + q
@@ -207,6 +248,314 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
         return 0
 
     jax.lax.fori_loop(0, rows, row_body, 0)
+
+
+# --------------------------------------------------------------------------
+# small-map kernels (w <= 64): whole map in VMEM, rows packed onto lanes
+# --------------------------------------------------------------------------
+#
+# At map sizes <= 64² the per-row formulation wastes the machine twice: the
+# row loop runs H tiny iterations, and each matmul's output has only W <= 64
+# of 128 lanes live. Here nr = 128 // w consecutive output ROWS share one
+# lane tile: the x-window of every row is the whole (padded-to-128) map
+# width, so one (S=128, 128) weight matrix covers all 128 output positions
+# — ax[s, i·w+l] = K(fx[r0+i, l] − (s − m)) — and the y-band of the tile
+# spans nr + 2M rows, amortizing band sweeps across the packed rows. The
+# whole padded map lives in VMEM via BlockSpec (no manual DMA): the largest
+# small-map slab (64² × c512) is ~2.6 MB. d/dx needs no overlap-add — the
+# single window covers the whole map, so the kernel accumulates straight
+# into the (packed) output slab and the host just crops the M-halo.
+
+
+def _small_geom(h: int, w: int, c: int, m: int):
+    """(nr, lanes, t_tiles, s_dma, pb, hp) for the packed small-map layout."""
+    nr = min(max(128 // w, 1), h)
+    lanes = nr * w
+    t_tiles = h // nr
+    npack = _npack(c)
+    unroll = _unroll(c)
+    s_dma = _round_up(w + 2 * m, 128)
+    pb = (nr + 2 * m + 2 * npack - 2) // npack  # pack-aligned cover of any tile's band
+    pb = (pb + unroll - 1) // unroll * unroll
+    hp = ((h - nr) // npack + pb) * npack  # >= h + 2m, npack-aligned
+    return nr, lanes, t_tiles, s_dma, pb, hp
+
+
+def _small_groups(h: int, w: int, c: int, m: int):
+    """Channel-group split bounding the largest VMEM tenant (the dx kernel's
+    fp32 whole-map slab) to ~6MB. The warp is channelwise-independent, so
+    groups ride the batch grid dim: (B, H, W, G·c') → (G·B, H, W, c').
+    Returns the group count, or None if no divisor fits (→ general kernel).
+    """
+    groups = 1
+    while True:
+        cg = c // groups
+        _, _, _, s_dma, _, hp = _small_geom(h, w, cg, m)
+        if hp * max(cg, 8) * s_dma * 4 <= 6 * 1024 * 1024:
+            return groups
+        if cg % 2 or groups * 2 > c:
+            return None
+        groups *= 2
+
+
+def _use_small(h: int, w: int, c: int, m: int, itemsize: int) -> bool:
+    del itemsize
+    if w > 64 or 128 % w or h % min(max(128 // w, 1), h):
+        return False
+    return _small_groups(h, w, c, m) is not None
+
+
+def _split_groups(x: jax.Array, groups: int):
+    """(B, H, W, G·c') → (G·B, H, W, c'), group-major."""
+    b, h, w, c = x.shape
+    cg = c // groups
+    xg = x.reshape(b, h, w, groups, cg)
+    return jnp.transpose(xg, (3, 0, 1, 2, 4)).reshape(groups * b, h, w, cg)
+
+
+def _merge_groups(out: jax.Array, groups: int):
+    gb, h, w, cg = out.shape
+    b = gb // groups
+    og = out.reshape(groups, b, h, w, cg)
+    return jnp.transpose(og, (1, 2, 3, 0, 4)).reshape(b, h, w, groups * cg)
+
+
+def _small_pack(x_t: jax.Array, h: int, w: int, m: int, s_dma: int, hp: int, npack: int):
+    """Pad (B, H, C, W) and pack rows: (B, Hp/npack, npack·C, s_dma)."""
+    b, _, c, _ = x_t.shape
+    xp = jnp.pad(x_t, ((0, 0), (m, hp - h - m), (0, 0), (m, s_dma - w - m)))
+    return xp.reshape(b, hp // npack, npack * c, s_dma)
+
+
+def _small_tile_coords(fx, fy, b, t_tiles, lanes):
+    return fx.reshape(b, t_tiles, lanes), fy.reshape(b, t_tiles, lanes)
+
+
+def _fwd_small_kernel(fx_ref, fy_ref, xp_ref, out_ref, *, t_tiles, lanes, m, c, pb, nr):
+    npack = _npack(c)
+    unroll = _unroll(c)
+    s_dma = xp_ref.shape[-1]
+    scol = jax.lax.broadcasted_iota(jnp.int32, (s_dma, lanes), 0).astype(jnp.float32) - float(m)
+    cdt = xp_ref.dtype
+
+    def tile_body(t, _):
+        fxr = fx_ref[0, pl.ds(t, 1), :]  # (1, lanes) — lanes = nr rows × w cols
+        fyr = fy_ref[0, pl.ds(t, 1), :]
+        ax_t = _k(fxr - scol).astype(cdt)  # (S, lanes): whole-width window per position
+        p0 = (t * nr) // npack
+
+        def band_body(i, carry):
+            accs = list(carry)
+            for u_slot in range(unroll):
+                pk = p0 + unroll * i + u_slot
+                xs = xp_ref[0, pk]  # (npack·C, S) — whole-map slab, pre-packed
+                p = jax.lax.dot(xs, ax_t, preferred_element_type=jnp.float32, precision=_prec(cdt))
+                uf = pk.astype(jnp.float32) * float(npack) - float(m)
+                for q in range(npack):
+                    k = u_slot * npack + q
+                    ayj = _k(fyr - (uf + float(q)))  # (1, lanes) fp32
+                    accs[k] = accs[k] + ayj * p[q * c : (q + 1) * c]
+            return tuple(accs)
+
+        zero = jnp.zeros((c, lanes), jnp.float32)
+        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (unroll * npack))
+        acc = accs[0]
+        for q in range(1, unroll * npack):
+            acc = acc + accs[q]
+        out_ref[0, t] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t_tiles, tile_body, 0)
+
+
+def _dgrid_small_kernel(
+    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, *, t_tiles, lanes, m, c, pb, nr
+):
+    npack = _npack(c)
+    unroll = _unroll(c)
+    s_dma = xp_ref.shape[-1]
+    scol = jax.lax.broadcasted_iota(jnp.int32, (s_dma, lanes), 0).astype(jnp.float32) - float(m)
+    cdt = xp_ref.dtype
+
+    def tile_body(t, _):
+        fxr = fx_ref[0, pl.ds(t, 1), :]
+        fyr = fy_ref[0, pl.ds(t, 1), :]
+        tx = fxr - scol
+        ax2 = jnp.concatenate((_dk(tx), _k(tx)), axis=1).astype(cdt)  # (S, 2·lanes)
+        p0 = (t * nr) // npack
+
+        def band_body(i, carry):
+            accs = list(carry)
+            for u_slot in range(unroll):
+                pk = p0 + unroll * i + u_slot
+                xs = xp_ref[0, pk]
+                p2 = jax.lax.dot(xs, ax2, preferred_element_type=jnp.float32, precision=_prec(cdt))
+                uf = pk.astype(jnp.float32) * float(npack) - float(m)
+                for q in range(npack):
+                    k = 2 * (u_slot * npack + q)
+                    ty = fyr - (uf + float(q))
+                    pq = p2[q * c : (q + 1) * c]
+                    accs[k] = accs[k] + _k(ty) * pq[:, :lanes]  # ∂/∂fx
+                    accs[k + 1] = accs[k + 1] + _dk(ty) * pq[:, lanes:]  # ∂/∂fy
+            return tuple(accs)
+
+        zero = jnp.zeros((c, lanes), jnp.float32)
+        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (2 * unroll * npack))
+        gr = g_ref[0, t].astype(jnp.float32)  # (C, lanes)
+        acc_x = accs[0]
+        acc_y = accs[1]
+        for q in range(1, unroll * npack):
+            acc_x = acc_x + accs[2 * q]
+            acc_y = acc_y + accs[2 * q + 1]
+        dfx_ref[0, t] = jnp.sum(gr * acc_x, axis=0)
+        dfy_ref[0, t] = jnp.sum(gr * acc_y, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, t_tiles, tile_body, 0)
+
+
+def _dx_small_kernel(fx_ref, fy_ref, g_ref, out_ref, *, t_tiles, lanes, m, c, pb, nr):
+    """Scatter-style d/dx into the whole-map packed slab (fp32, in VMEM).
+
+    Single window ⇒ no inter-tile halos: each output tile's band matmul
+    (npack·C, lanes) @ (lanes, S) accumulates directly into the packed
+    output rows; the host only crops the M-halo and unpacks.
+    """
+    npack = _npack(c)
+    unroll = _unroll(c)
+    s_dma = out_ref.shape[-1]
+    scol = jax.lax.broadcasted_iota(jnp.int32, (s_dma, lanes), 0).astype(jnp.float32) - float(m)
+    cdt = g_ref.dtype
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def tile_body(t, _):
+        fxr = fx_ref[0, pl.ds(t, 1), :]
+        fyr = fy_ref[0, pl.ds(t, 1), :]
+        ax_rt = jnp.transpose(_k(fxr - scol).astype(cdt))  # (lanes, S)
+        g_t = g_ref[0, t]  # (C, lanes)
+        p0 = (t * nr) // npack
+
+        def band_body(i, _):
+            for u_slot in range(unroll):
+                pk = p0 + unroll * i + u_slot
+                uf = pk.astype(jnp.float32) * float(npack) - float(m)
+                chunks = []
+                for q in range(npack):
+                    ayq = _k(fyr - (uf + float(q))).astype(cdt)  # (1, lanes)
+                    chunks.append(g_t * ayq)
+                lhs = chunks[0] if npack == 1 else jnp.concatenate(chunks, axis=0)
+                p = jax.lax.dot(lhs, ax_rt, preferred_element_type=jnp.float32, precision=_prec(cdt))
+                out_ref[0, pk] = out_ref[0, pk] + p  # (npack·C, S)
+            return 0
+
+        jax.lax.fori_loop(0, pb // unroll, band_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, t_tiles, tile_body, 0)
+
+
+def _fwd_small_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool):
+    b, h, w, c = x.shape
+    groups = _small_groups(h, w, c, m)
+    if groups > 1:
+        grid_g = jnp.broadcast_to(grid[None], (groups,) + grid.shape).reshape(
+            groups * b, h, w, 2
+        )
+        out = _fwd_small_call(_split_groups(x, groups), grid_g, m, interpret)
+        return _merge_groups(out, groups)
+    fx, fy = _coords(grid, h, w)
+    npack = _npack(c)
+    nr, lanes, t_tiles, s_dma, pb, hp = _small_geom(h, w, c, m)
+    _note_flops(b * t_tiles * pb * 2 * npack * c * s_dma * lanes, 32 * b * h * w * c)
+    xp = _small_pack(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, s_dma, hp, npack)
+    fxr, fyr = _small_tile_coords(fx, fy, b, t_tiles, lanes)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_small_kernel, t_tiles=t_tiles, lanes=lanes, m=m, c=c, pb=pb, nr=nr
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_tiles, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tiles, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, hp // npack, npack * c, s_dma), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tiles, c, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_tiles, c, lanes), x.dtype),
+        interpret=interpret,
+    )(fxr, fyr, xp)
+    out = out.reshape(b, t_tiles, c, nr, w)
+    return jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(b, h, w, c)
+
+
+def _bwd_small_call(x, grid, g, m: int, interpret: bool):
+    b, h, w, c = x.shape
+    groups = _small_groups(h, w, c, m)
+    if groups > 1:
+        grid_g = jnp.broadcast_to(grid[None], (groups,) + grid.shape).reshape(
+            groups * b, h, w, 2
+        )
+        dx, dfx, dfy = _bwd_small_call(
+            _split_groups(x, groups), grid_g, _split_groups(g, groups), m, interpret
+        )
+        # the grid is shared across channel groups: its cotangent sums
+        return (
+            _merge_groups(dx, groups),
+            jnp.sum(dfx.reshape(groups, b, h, w), axis=0),
+            jnp.sum(dfy.reshape(groups, b, h, w), axis=0),
+        )
+    x_dtype = x.dtype
+    npack = _npack(c)
+    nr, lanes, t_tiles, s_dma, pb, hp = _small_geom(h, w, c, m)
+    # dgrid: (npack·C, S) @ (S, 2·lanes) per pack; dx: (npack·C, lanes) @ (lanes, S)
+    _note_flops(
+        b * t_tiles * pb * 2 * npack * c * s_dma * 3 * lanes, 96 * b * h * w * c
+    )
+    fx, fy = _coords(grid, h, w)
+    fxr, fyr = _small_tile_coords(fx, fy, b, t_tiles, lanes)
+    xp = _small_pack(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, s_dma, hp, npack)
+    # cotangent packed like the output layout: (B, T, C, lanes)
+    g_p = g.astype(x_dtype).reshape(b, t_tiles, nr, w, c)
+    g_p = jnp.transpose(g_p, (0, 1, 4, 2, 3)).reshape(b, t_tiles, c, lanes)
+
+    kw = dict(t_tiles=t_tiles, lanes=lanes, m=m, c=c, pb=pb, nr=nr)
+    coord_spec = pl.BlockSpec((1, t_tiles, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, t_tiles, c, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec(
+        (1, hp // npack, npack * c, s_dma), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    dfx, dfy = pl.pallas_call(
+        functools.partial(_dgrid_small_kernel, **kw),
+        grid=(b,),
+        in_specs=[coord_spec, coord_spec, g_spec, slab_spec],
+        out_specs=(coord_spec, coord_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_tiles, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_tiles, lanes), jnp.float32),
+        ),
+        interpret=interpret,
+    )(fxr, fyr, g_p, xp)
+    dfx = dfx.reshape(b, h, w)
+    dfy = dfy.reshape(b, h, w)
+
+    dslab = pl.pallas_call(
+        functools.partial(_dx_small_kernel, **kw),
+        grid=(b,),
+        in_specs=[coord_spec, coord_spec, g_spec],
+        out_specs=pl.BlockSpec(
+            (1, hp // npack, npack * c, s_dma), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp // npack, npack * c, s_dma), jnp.float32),
+        interpret=interpret,
+    )(fxr, fyr, g_p)
+    dx_t = dslab.reshape(b, hp, c, s_dma)[:, m : m + h]  # crop row halo
+    dx = jnp.transpose(dx_t, (0, 1, 3, 2))[:, :, m : m + w]  # crop col halo
+    return dx.astype(x_dtype), dfx, dfy
 
 
 # --------------------------------------------------------------------------
@@ -251,7 +600,7 @@ def _dgrid_kernel(
             for u_slot in range(unroll):
                 pk = p0 + unroll * i + u_slot
                 xs = slab[pk]  # (npack·C, S)
-                p2 = jax.lax.dot(xs, ax2, preferred_element_type=jnp.float32)
+                p2 = jax.lax.dot(xs, ax2, preferred_element_type=jnp.float32, precision=_prec(cdt))
                 uf = pk.astype(jnp.float32) * float(npack)
                 for q in range(npack):
                     k = 2 * (u_slot * npack + q)
@@ -328,7 +677,7 @@ def _dx_gather_kernel(
                 gw = gslab[i] * ay_row  # (C, S)
                 accs.append(
                     carry[q]
-                    + jax.lax.dot(gw, axb[i], preferred_element_type=jnp.float32)
+                    + jax.lax.dot(gw, axb[i], preferred_element_type=jnp.float32, precision=_prec(cdt))
                 )
             return tuple(accs)
 
@@ -389,7 +738,7 @@ def _dx_scatter_kernel(
                     ayq = _k(fyr - (y0 + uf + float(q))).astype(cdt)  # (1, TL)
                     chunks.append(g_r * ayq)  # (C, TL)
                 lhs = chunks[0] if npack == 1 else jnp.concatenate(chunks, axis=0)
-                p = jax.lax.dot(lhs, ax_rt, preferred_element_type=jnp.float32)
+                p = jax.lax.dot(lhs, ax_rt, preferred_element_type=jnp.float32, precision=_prec(cdt))
                 dslab[pk] = dslab[pk] + p  # (npack·C, S)
             return 0
 
@@ -484,10 +833,14 @@ def _packed_input(x_t: jax.Array, h: int, w: int, m: int, rows: int, wpad: int, 
 
 def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool):
     b, h, w, c = x.shape
+    if _use_small(h, w, c, m, x.dtype.itemsize):
+        return _fwd_small_call(x, grid, m, interpret)
     fx, fy = _coords(grid, h, w)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, x.dtype.itemsize)
     npack = _npack(c)
+    assert rows % npack == 0, (rows, npack)  # pack-aligned slab DMA starts
     pb, p_slab, _ = _pack_geom(h, rows, m, npack, _unroll(c))
+    _note_flops(b * h * (w // tl) * pb * 2 * npack * c * s_dma * tl, 32 * b * h * w * c)
     xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
 
     out = pl.pallas_call(
@@ -538,12 +891,19 @@ def _vjp_bwd(max_disp, interpret, res, g):
     x_dtype, grid_dtype = x.dtype, grid.dtype
     b, h, w, c = x.shape
     itemsize = jnp.dtype(x_dtype).itemsize
+    if _use_small(h, w, c, m, itemsize):
+        dx, dfx, dfy = _bwd_small_call(x, grid, g, m, interpret)
+        dgrid = jnp.stack([dfx * (w * 0.5), dfy * (h * 0.5)], axis=-1).astype(grid_dtype)
+        return dx, dgrid
     fx, fy = _coords(grid, h, w)
     g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(x_dtype)  # (B, H, C, W)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, itemsize)
     npack = _npack(c)
     pb, p_slab, _ = _pack_geom(h, rows, m, npack, _unroll(c))
     xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
+    _note_flops(
+        b * h * (w // tl) * pb * 2 * npack * c * s_dma * 2 * tl, 64 * b * h * w * c
+    )
 
     # ---- d/dgrid: forward-style sweep with K' ----
     dfx, dfy = pl.pallas_call(
@@ -582,6 +942,8 @@ def _vjp_bwd(max_disp, interpret, res, g):
             h, w, c, m, itemsize, extra_row_bytes=s_dma * tl * itemsize + 2 * s_dma * 4
         )
         srows = rows_dx + 2 * m + _overshoot(m)
+        band_r = 2 * m + 1 + _overshoot(m)
+        _note_flops(b * h * (w // tl) * band_r * 2 * c * s_dma * tl, 32 * b * h * w * c)
         gp = jnp.pad(g_t, ((0, 0), (m, m + _overshoot(m)), (0, 0), (m, wpad - w - m)))
         # 4D with a singleton sublane dim so the row dim stays a freely-sliceable
         # major axis; pad coords with ±1e9 (exact zero weight via compact support)
@@ -622,6 +984,7 @@ def _vjp_bwd(max_disp, interpret, res, g):
         rows_dx = _pick_rows_dx(h, w, c, m, itemsize)
         pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack, _unroll(c))
         nrb, nxt = h // rows_dx, w // tl
+        _note_flops(b * h * nxt * pb_dx * 2 * npack * c * tl * s_dma, 32 * b * h * w * c)
         nc = npack * c
         slabs = pl.pallas_call(
             functools.partial(

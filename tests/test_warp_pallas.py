@@ -25,6 +25,8 @@ SHAPES = [
     ((2, 32, 64, 16), 0.05),
     ((1, 16, 256, 8), 0.05),  # multi-x-tile: exercises 128-aligned DMA windows
     ((1, 16, 16, 128), 0.1),  # c >= 128: exercises the gather-dx backward path
+    ((1, 16, 16, 48), 0.1),  # non-pow2 channels: npack must round down to pow2
+    ((1, 16, 16, 512), 0.1),  # small-map channel-group split (VMEM budget)
 ]
 
 

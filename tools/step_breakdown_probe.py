@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--warp_impl", type=str, default="auto")
+    ap.add_argument("--min_res", type=int, default=128, help="warp_pallas_min_res")
     args = ap.parse_args()
 
     try:
@@ -48,6 +49,7 @@ def main():
         compute_dtype="bfloat16",
         remat_blocks=True,
         warp_impl=args.warp_impl,
+        warp_pallas_min_res=args.min_res,
     )
     G, D = build_models(cfg)
     state = create_train_state(cfg)
