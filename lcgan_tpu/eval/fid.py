@@ -86,9 +86,38 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
     inception = InceptionV3FID(dtype=cfg.dtype)
     inc_vars = load_inception_params(cfg, inception)
 
-    @jax.jit
-    def features(imgs):
-        return inception.apply(inc_vars, imgs)
+    # weights passed as an ARGUMENT, not a closure: baked-in ~95MB constants
+    # hit remote-compile body limits on tunneled backends
+    feat_fn = jax.jit(lambda v, imgs: inception.apply(v, imgs))
+
+    mesh = trainer.mesh
+    if mesh is not None:
+        # feature extraction sharded over the data axis (r2 weak #4: one chip
+        # worked while the rest idled); images are PROCESS-LOCAL rows
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lcgan_tpu.train.steps import _local_shard_data
+
+        sharding = NamedSharding(mesh, P("data"))
+        feat_sharded = jax.jit(
+            lambda v, imgs: inception.apply(v, imgs), out_shardings=sharding
+        )
+
+        def features(imgs_np):
+            imgs_np = np.asarray(imgs_np)
+            b = imgs_np.shape[0]
+            pad = (-b) % jax.local_device_count()
+            if pad:
+                imgs_np = np.concatenate(
+                    [imgs_np, np.zeros((pad,) + imgs_np.shape[1:], imgs_np.dtype)]
+                )
+            garr = jax.make_array_from_process_local_data(sharding, imgs_np)
+            return _local_shard_data(feat_sharded(inc_vars, garr))[:b]
+
+    else:
+
+        def features(imgs_np):
+            return np.asarray(feat_fn(inc_vars, jnp.asarray(imgs_np)))
 
     dataset = ImageFolderDataset(cfg.dataset_path, cfg.img_resolution, is_train=False, seed=cfg.seed)
     n = min(len(dataset), 50000 if num_images is None else num_images)
@@ -112,18 +141,18 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
 
     real_feats = []
     for imgs in Prefetcher(real_batches(), depth=2):
-        real_feats.append(np.asarray(features(jnp.asarray(imgs))))
+        real_feats.append(features(imgs))
     pool.shutdown(wait=False)
 
-    # ---- generated features ----
+    # ---- generated features (sharded across the mesh when present) ----
     key = jax.random.PRNGKey(cfg.seed + 1 + pi)
     gen_feats = []
     for _ in range(num_batches):
         key, k1, k2 = jax.random.split(key, 3)
         z1 = jax.random.normal(k1, (local_b, cfg.geo_noise_dim))
         z2 = jax.random.normal(k2, (local_b, cfg.app_noise_dim))
-        fake = trainer.generate(state, z1, z2, w_psi=cfg.w_psi)
-        gen_feats.append(np.asarray(features(fake)))
+        fake = trainer.generate_sharded(state, z1, z2, w_psi=cfg.w_psi)
+        gen_feats.append(features(fake))
 
     real = np.concatenate(real_feats, 0).astype(np.float64)
     gen = np.concatenate(gen_feats, 0).astype(np.float64)

@@ -131,6 +131,32 @@ def test_freezed_variant_keeps_frozen_params():
     assert max(jax.tree.leaves(moved)) > 0.0
 
 
+@pytest.mark.parametrize("epoch", [1, 2, 9])  # odd+r1, even+aux, odd+r1 again
+def test_freezed_stop_gradient_matches_mask_oracle(epoch):
+    """The stop_gradient freezeD form (skips frozen backward) must produce
+    states identical to the pure grad-mask oracle — including under R1,
+    whose ∇_image must keep flowing through the frozen trunk."""
+    cfg = tiny_cfg(freezeD_start=0, freezeD_layer=1)
+    states, losses = [], []
+    for use_sg in (True, False):
+        trainer = Trainer(cfg, mesh=None)
+        trainer._freeze_stop_gradient = use_sg
+        state = trainer.init_state()
+        batch = fake_batch(cfg, cfg.batch_size)
+        state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
+        states.append(jax.tree.map(np.asarray, state.d_params))
+        losses.append((float(g_loss), float(d_loss)))
+    # the two freezeD forms compile to different XLA programs, so allow
+    # fp32 reassociation noise — a semantic difference (e.g. a broken R1
+    # image-grad path) is orders of magnitude larger
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6),
+        states[0],
+        states[1],
+    )
+
+
 def test_w_avg_updates_during_training():
     cfg = tiny_cfg()
     trainer = Trainer(cfg, mesh=None)
@@ -157,6 +183,24 @@ def test_data_parallel_iteration_runs_on_fake_mesh():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_generate_sharded_matches_plain_on_mesh():
+    """DP generation over the 8-fake-device mesh == the plain jit path,
+    including the pad-to-device-count crop (batch 6 on 8 devices)."""
+    cfg = tiny_cfg(batch_size=8, mbstd_group_size=1)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state()
+    rng = np.random.default_rng(3)
+    z1 = rng.standard_normal((6, cfg.geo_noise_dim)).astype(np.float32)
+    z2 = rng.standard_normal((6, cfg.app_noise_dim)).astype(np.float32)
+    sharded = trainer.generate_sharded(state, z1, z2, w_psi=1.0)
+    plain = np.asarray(trainer.generate(state, jnp.asarray(z1), jnp.asarray(z2), 1.0))
+    assert sharded.shape == plain.shape
+    np.testing.assert_allclose(
+        np.float32(sharded), np.float32(plain), atol=2e-5, rtol=1e-4
+    )
 
 
 def test_generate_uses_ema_and_truncation():
