@@ -15,9 +15,36 @@ reader; nothing from torch enters the compute path.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 
 _BN_EPS = 1e-3
+
+# torch.hub convention: the filename's -6726825d suffix is the first 8 hex
+# chars of the file's SHA-256 (load_state_dict_from_url verifies the same
+# prefix). Reference checkpoint: pt_inception-2015-12-05-6726825d.pth
+# (/root/reference/eval/inception.py:13).
+EXPECTED_SHA256_PREFIX = "6726825d"
+
+
+def verify_checkpoint(pth_path: str, strict: bool = False) -> bool:
+    """Check the .pth against the pinned reference fingerprint."""
+    h = hashlib.sha256()
+    with open(pth_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    ok = h.hexdigest().startswith(EXPECTED_SHA256_PREFIX)
+    if not ok:
+        msg = (
+            f"{pth_path}: sha256 {h.hexdigest()[:16]}… does not start with "
+            f"{EXPECTED_SHA256_PREFIX} — not the reference pytorch-fid "
+            "checkpoint; the resulting FID will not follow the reference protocol"
+        )
+        if strict:
+            raise ValueError(msg)
+        print(f"WARNING: {msg}")
+    return ok
 
 # BasicConv2d module paths inside each top-level torch module
 _TOP_LEVEL = [
@@ -46,6 +73,7 @@ def convert_torch_inception(pth_path: str) -> dict:
     """Load the pytorch-fid checkpoint and emit Flax params."""
     import torch
 
+    verify_checkpoint(pth_path)
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     params: dict = {}
     # group state-dict keys by BasicConv2d prefix (everything before .conv/.bn)
@@ -87,3 +115,28 @@ def load_params_npz(path: str) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
     return params
+
+
+def main(argv=None):
+    """One-shot .pth → .npz conversion (README 'FID with real weights'):
+
+        python -m lcgan_tpu.eval.convert pt_inception-2015-12-05-6726825d.pth \
+            inception_fid.npz
+
+    The npz loads ~instantly and torch-free on TPU hosts; pass it (or the
+    .pth itself) as --inception_weights.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("pth", help="pytorch-fid pt_inception .pth checkpoint")
+    ap.add_argument("npz", help="output .npz path")
+    ap.add_argument("--strict", action="store_true", help="fail on fingerprint mismatch")
+    args = ap.parse_args(argv)
+    verify_checkpoint(args.pth, strict=args.strict)
+    save_params_npz(convert_torch_inception(args.pth), args.npz)
+    print(f"wrote {args.npz}")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,21 @@ def test_convert_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["A"]["c"]["d"], params["A"]["c"]["d"])
 
 
+def test_checkpoint_fingerprint(tmp_path):
+    """verify_checkpoint pins the reference .pth by its sha256 prefix
+    (torch.hub filename convention, 6726825d)."""
+    import pytest
+
+    from lcgan_tpu.eval.convert import EXPECTED_SHA256_PREFIX, verify_checkpoint
+
+    assert EXPECTED_SHA256_PREFIX == "6726825d"
+    bogus = tmp_path / "not_the_weights.pth"
+    bogus.write_bytes(b"definitely not an inception checkpoint")
+    assert verify_checkpoint(str(bogus)) is False  # warns, returns False
+    with pytest.raises(ValueError):
+        verify_checkpoint(str(bogus), strict=True)
+
+
 def test_fid_real_indices_unique_exact_and_sharded():
     from lcgan_tpu.eval.fid import fid_real_indices
 
