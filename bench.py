@@ -24,6 +24,14 @@ import time
 
 H100_CLASS_ESTIMATE_IMGS_PER_SEC = 60.0
 
+# TPU v5e peak bf16 matmul throughput (~197 TFLOP/s per chip). MFU numerator
+# is XLA cost_analysis FLOPs (convs, incl. remat recompute, as compiled) plus
+# the Pallas warp kernels' self-reported matmul FLOPs (ops/warp_pallas.py
+# flop_meter — XLA counts custom calls as zero). "useful" MFU instead credits
+# the warp only its 16-tap gather-equivalent FLOPs, exposing the banded
+# formulation's algorithmic overhead.
+PEAK_FLOPS_PER_CHIP = 197e12
+
 # (resolution, per-chip batch): the reference's per-GPU batches; memory
 # fits measured on one 16G v5e (DESIGN.md) — 1024² runs b2/chip there
 # (the 80G-class target hardware takes the reference's b4).
@@ -87,7 +95,27 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
     # the last loss transitively depends on every prior step's state
     float(g_loss), float(d_loss)
     dt = time.perf_counter() - t0
-    return cfg.batch_size * iters / dt / n_chips
+    ips = cfg.batch_size * iters / dt / n_chips
+
+    # ---- MFU: schedule-weighted per-8 mix of the three step variants ----
+    mfu = mfu_useful = None
+    try:
+        from lcgan_tpu.ops import warp_pallas
+
+        flops = {}
+        for name, epoch in (("even", 8), ("odd", 11), ("r1", 9)):
+            fn = trainer.step_variant(epoch)
+            with warp_pallas.flop_meter() as acc:
+                lowered = fn.lower(state, batch)
+            xla = float(lowered.compile().cost_analysis().get("flops", 0.0))
+            flops[name] = (xla + acc[0], xla + acc[1])
+        avg = lambda i: (4 * flops["even"][i] + 3 * flops["odd"][i] + flops["r1"][i]) / 8.0
+        per_chip_per_sec = iters / dt / n_chips
+        mfu = round(avg(0) * per_chip_per_sec / PEAK_FLOPS_PER_CHIP, 4)
+        mfu_useful = round(avg(1) * per_chip_per_sec / PEAK_FLOPS_PER_CHIP, 4)
+    except Exception:  # pragma: no cover - cost_analysis backend support
+        pass
+    return {"ips": round(ips, 2), "mfu": mfu, "mfu_useful": mfu_useful}
 
 
 def main():
@@ -95,13 +123,15 @@ def main():
 
     _enable_cache()
     n_chips = jax.device_count()
-    results = {}
+    results, errors = {}, {}
     for res, b in RECIPES:
         try:
-            results[res] = round(measure(res, b, n_chips), 2)
+            results[res] = measure(res, b, n_chips)
         except Exception as e:  # pragma: no cover - records OOM/compile limits
-            results[res] = f"failed: {type(e).__name__}"
-    per_chip = results[256]
+            results[res] = None  # 'value' stays numeric-or-null for consumers
+            errors[res] = type(e).__name__
+    r256 = results[256] or {}
+    per_chip = r256.get("ips")
     out = {
         "metric": "train_imgs_per_sec_per_chip_256",
         "value": per_chip,
@@ -109,9 +139,16 @@ def main():
         "vs_baseline": round(per_chip / H100_CLASS_ESTIMATE_IMGS_PER_SEC, 3)
         if isinstance(per_chip, float)
         else 0.0,
-        "imgs_per_sec_per_chip_512": results[512],
-        "imgs_per_sec_per_chip_1024": results[1024],
+        "mfu_256": r256.get("mfu"),
+        "mfu_useful_256": r256.get("mfu_useful"),
     }
+    for res in (512, 1024):
+        r = results[res] or {}
+        out[f"imgs_per_sec_per_chip_{res}"] = r.get("ips")
+        out[f"mfu_{res}"] = r.get("mfu")
+        out[f"mfu_useful_{res}"] = r.get("mfu_useful")
+    if errors:
+        out["errors"] = {str(k): v for k, v in errors.items()}
     print(json.dumps(out))
 
 
