@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "none: skip the warp — diagnostic ablations only)")
     p.add_argument("--warp_pallas_min_res", type=int, default=128,
                    help="auto mode: smallest map size routed to the fused kernel")
+    p.add_argument("--warp_adaptive_band", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="size the fused warp's band by the measured flow with a "
+                        "full-band fallback (exact either way)")
     p.add_argument("--profile_dir", type=str, default="", help="jax.profiler trace output dir")
     return p
 

@@ -96,6 +96,7 @@ class Config:
     # kernel's DMA/dispatch/transpose overheads dominate (measured: fused
     # loses at <=64², wins 1.9x at 128², tools/warp_blocks_probe.py).
     warp_pallas_min_res: int = 128
+    warp_adaptive_band: bool = True
 
     # ------------------------------------------------------------------
     @property

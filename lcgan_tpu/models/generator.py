@@ -37,7 +37,10 @@ from lcgan_tpu.ops.grid_sample import (
     identity_like_coordinates,
     max_warp_displacement,
 )
-from lcgan_tpu.ops.warp_pallas import grid_sample_bicubic_pallas
+from lcgan_tpu.ops.warp_pallas import (
+    grid_sample_bicubic_pallas,
+    grid_sample_bicubic_pallas_adaptive,
+)
 from lcgan_tpu.ops.mapping import MappingNetwork
 from lcgan_tpu.ops.modulated import SynthesisLayer
 
@@ -57,6 +60,7 @@ class SynthesisBlock(nn.Module):
     use_noise: bool = False  # reaches the two main convs, never the flow layer
     warp_impl: str = "auto"  # auto | pallas (fused kernel) | banded (XLA)
     warp_pallas_min_res: int = 128  # below: banded scan (cheaper at small maps)
+    warp_adaptive_band: bool = True  # half-band fast path sized by actual flow
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -110,6 +114,11 @@ class SynthesisBlock(nn.Module):
         )
         if self.warp_impl == "none":  # diagnostic only: skip the warp
             warped = y
+        elif use_pallas and self.warp_adaptive_band:
+            # band sized by the measured flow, full-M fallback (exact either
+            # way); trained flows sit at ~0.44 of the tanh bound, making the
+            # half band the steady-state path (tools/flow_window_probe.py)
+            warped = grid_sample_bicubic_pallas_adaptive(y, correspondence, max_disp)
         elif use_pallas:
             warped = grid_sample_bicubic_pallas(y, correspondence, max_disp)
         else:
@@ -169,6 +178,7 @@ class Generator(nn.Module):
     remat: bool = False
     warp_impl: str = "auto"
     warp_pallas_min_res: int = 128
+    warp_adaptive_band: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -239,6 +249,7 @@ class Generator(nn.Module):
                 use_noise=self.use_noise,
                 warp_impl=self.warp_impl,
                 warp_pallas_min_res=self.warp_pallas_min_res,
+                warp_adaptive_band=self.warp_adaptive_band,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, geometry_code, a_pair)

@@ -47,6 +47,7 @@ def build_models(cfg: Config):
         remat=cfg.remat_blocks,
         warp_impl=cfg.warp_impl,
         warp_pallas_min_res=cfg.warp_pallas_min_res,
+        warp_adaptive_band=cfg.warp_adaptive_band,
         dtype=cfg.dtype,
     )
     discriminator = Discriminator(

@@ -21,7 +21,10 @@ from lcgan_tpu.ops.grid_sample import (
     identity_like_coordinates,
     max_warp_displacement,
 )
-from lcgan_tpu.ops.warp_pallas import grid_sample_bicubic_pallas
+from lcgan_tpu.ops.warp_pallas import (
+    grid_sample_bicubic_pallas,
+    grid_sample_bicubic_pallas_adaptive,
+)
 
 # (batch, size, channels) — every warp shape the three flagship generators
 # run: 256² uses maps 8..256, 512² adds 512/c64, 1024² adds 1024/c32.
@@ -38,13 +41,18 @@ SHAPES = [
 ]
 
 
-def check(b, hw, c, dtype, tol_scale):
+def check(b, hw, c, dtype, tol_scale, adaptive=False):
     m = max_warp_displacement(hw, 0.1)
     rng = np.random.default_rng(hw + c)
     x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), dtype)
     flow = jnp.asarray(rng.uniform(-1, 1, (b, hw, hw, 2)), jnp.float32)
-    grid = identity_like_coordinates(b, hw, hw) + flow * 0.1
+    # adaptive: trained-magnitude flow (~0.4 of the tanh bound) so the
+    # HALF-BAND branch executes on device; full flow exercises the fallback,
+    # which is the same code the non-adaptive rows already pin
+    # 0.03: max disp 0.5 + 0.015·hw stays under m_h − 2 at every shape ≥ 128
+    grid = identity_like_coordinates(b, hw, hw) + flow * (0.03 if adaptive else 0.1)
     cot = jnp.asarray(rng.standard_normal((b, hw, hw, c)), dtype)
+    pallas_fn = grid_sample_bicubic_pallas_adaptive if adaptive else grid_sample_bicubic_pallas
 
     def run(f):
         fwd = jax.jit(lambda x_, g_: f(x_, g_, m))
@@ -56,7 +64,7 @@ def check(b, hw, c, dtype, tol_scale):
         return np.asarray(fwd(x, grid), np.float32), np.asarray(dx, np.float32), np.asarray(dg)
 
     ref = run(grid_sample_bicubic_banded)
-    out = run(grid_sample_bicubic_pallas)
+    out = run(pallas_fn)
 
     names = ("fwd", "d/dx", "d/dgrid")
     tols = (2e-4 * tol_scale, 2e-4 * tol_scale, 2e-2 * tol_scale)
@@ -66,8 +74,9 @@ def check(b, hw, c, dtype, tol_scale):
         err = np.abs(o - r).max() / scale
         errs.append(f"{name} {err:.2e}")
         ok &= bool(err < tol) and bool(np.isfinite(o).all())
-    print(f"{hw:5d}² c{c:3d} b{b} M={m:3d} | {' | '.join(errs)} | {'OK' if ok else 'FAIL'}",
-          flush=True)
+    tag = " adaptive(half-band)" if adaptive else ""
+    print(f"{hw:5d}² c{c:3d} b{b} M={m:3d} | {' | '.join(errs)} | "
+          f"{'OK' if ok else 'FAIL'}{tag}", flush=True)
     return ok
 
 
@@ -85,12 +94,13 @@ def main():
     print(f"backend={jax.default_backend()} dtype={dtype.__name__}", flush=True)
     oks = []
     for b, hw, c in SHAPES:
-        try:
-            oks.append(check(b, hw, c, dtype, tol_scale))
-        except Exception as e:  # OOM on one shape must not kill the gate
-            print(f"{hw:5d}² c{c:3d} b{b} | ERROR {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}", flush=True)
-            oks.append(False)
+        for adaptive in (False, True) if hw >= 128 else (False,):
+            try:
+                oks.append(check(b, hw, c, dtype, tol_scale, adaptive))
+            except Exception as e:  # OOM on one shape must not kill the gate
+                print(f"{hw:5d}² c{c:3d} b{b} | ERROR {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
+                oks.append(False)
     ok = all(oks)
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
