@@ -1035,6 +1035,33 @@ def adaptive_half_disp(m: int) -> int:
     return m // 2 + 1
 
 
+def _fwd_band_flops(h: int, w: int, c: int, m: int, itemsize: int) -> int:
+    """The general fwd kernel's matmul FLOPs (the _fwd_call noting formula)."""
+    rows, tl, s_dma, _ = _tiles(h, w, c, m, itemsize)
+    npack = _npack(c)
+    pb, _, _ = _pack_geom(h, rows, m, npack, _unroll(c))
+    return h * (w // tl) * pb * 2 * npack * c * s_dma * tl
+
+
+def _adaptive_worthwhile(h: int, w: int, c: int, m: int, m_h: int, itemsize: int) -> bool:
+    """Branch only when the half band buys enough to beat the cond's cost.
+
+    The realized FLOP ratio is coarser than (2m_h+1)/(2m+1): S is
+    DMA-rounded to 128 and the pack count rounds to the unroll factor —
+    at 512²c64 the ratio is only 0.75, and in-step the cond's scheduling
+    barriers (the predicate reduce serializes branch selection, and ops
+    inside cond branches don't fuse with neighbors) measurably outweigh
+    that thin win (G grad 230 → 257 ms at 512²/b4). 0.65 keeps the
+    128²/256²/1024² geometries (0.60/0.56/0.50) and rejects 512²c64;
+    micro-benched op-level wins at the kept shapes are 1.37×/1.70×/1.55×.
+    """
+    if _use_small(h, w, c, m, itemsize):
+        return False  # small maps: band already tiny, cond never pays
+    full = _fwd_band_flops(h, w, c, m, itemsize)
+    half = _fwd_band_flops(h, w, c, m_h, itemsize)
+    return half <= 0.65 * full
+
+
 def grid_sample_bicubic_pallas_adaptive(
     x: jax.Array, grid: jax.Array, max_disp: int, interpret: bool = False
 ) -> jax.Array:
@@ -1059,8 +1086,8 @@ def grid_sample_bicubic_pallas_adaptive(
     """
     m = int(max_disp)
     m_h = adaptive_half_disp(m)
-    b, h, w, _ = x.shape
-    if m_h >= m:  # no headroom at tiny maps
+    b, h, w, c = x.shape
+    if m_h >= m or not _adaptive_worthwhile(h, w, c, m, m_h, x.dtype.itemsize):
         return grid_sample_bicubic_pallas(x, grid, m, interpret)
     fx, fy = _coords(grid, h, w)
     dx_max = jnp.max(jnp.abs(fx - jax.lax.broadcasted_iota(jnp.float32, fx.shape, 2)))

@@ -70,11 +70,14 @@ def test_adaptive_band_matches_oracle_both_branches(small_flow, rng):
     flow routes to the half-band kernel, a near-bound flow falls back to
     the full band — values AND both gradients match the banded form."""
     from lcgan_tpu.ops.warp_pallas import (
+        _adaptive_worthwhile,
         adaptive_half_disp,
         grid_sample_bicubic_pallas_adaptive,
     )
 
-    b, h, w, c = 1, 16, 256, 8  # multi-x-tile geometry, m=9 -> m_h=5
+    # c=128 (npack=2): the ratio gate engages the cond at this geometry;
+    # tiny channel counts fall back (npack granularity swallows the band cut)
+    b, h, w, c = 1, 16, 256, 128  # multi-x-tile geometry, m=9 -> m_h=5
     mfs = 0.05
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
     flow = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2)), jnp.float32)
@@ -82,6 +85,7 @@ def test_adaptive_band_matches_oracle_both_branches(small_flow, rng):
     grid = identity_like_coordinates(b, h, w) + flow * mfs * scale
     m = max_warp_displacement(max(h, w), mfs)
     assert adaptive_half_disp(m) < m
+    assert _adaptive_worthwhile(h, w, c, m, adaptive_half_disp(m), 4)
     cot = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
 
     out = jax.jit(

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--warp_impl", type=str, default="auto")
     ap.add_argument("--min_res", type=int, default=128, help="warp_pallas_min_res")
+    ap.add_argument("--adaptive", default=True, action=argparse.BooleanOptionalAction,
+                    help="flow-adaptive warp band")
     args = ap.parse_args()
 
     try:
@@ -50,6 +52,7 @@ def main():
         remat_blocks=True,
         warp_impl=args.warp_impl,
         warp_pallas_min_res=args.min_res,
+        warp_adaptive_band=args.adaptive,
     )
     G, D = build_models(cfg)
     state = create_train_state(cfg)

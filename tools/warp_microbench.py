@@ -24,7 +24,10 @@ from lcgan_tpu.ops.grid_sample import (
     identity_like_coordinates,
     max_warp_displacement,
 )
-from lcgan_tpu.ops.warp_pallas import grid_sample_bicubic_pallas
+from lcgan_tpu.ops.warp_pallas import (
+    grid_sample_bicubic_pallas,
+    grid_sample_bicubic_pallas_adaptive,
+)
 
 SHAPES = [
     (8, 8, 512),
@@ -37,11 +40,11 @@ SHAPES = [
 ]
 
 
-def bench(f, b, hw, c, m, chain, reps, dtype):
+def bench(f, b, hw, c, m, chain, reps, dtype, flow_scale=0.1):
     rng = np.random.default_rng(hw + c)
     x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), dtype)
     grid = identity_like_coordinates(b, hw, hw) + jnp.asarray(
-        rng.uniform(-0.1, 0.1, (b, hw, hw, 2)), jnp.float32
+        rng.uniform(-flow_scale, flow_scale, (b, hw, hw, 2)), jnp.float32
     )
 
     @jax.jit
@@ -78,6 +81,9 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="also time the flow-adaptive wrapper (fast branch: "
+                    "small flow so the half band executes)")
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
@@ -87,6 +93,25 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     print(f"backend={jax.default_backend()} dtype={dtype.__name__} chain={args.chain}",
           flush=True)
+    if args.adaptive:
+        shapes = [(8, 128, 256), (8, 256, 128), (8, 512, 64), (2, 1024, 32)]
+        print("  shape              | pallas fwd  fwd+bwd | adapt fwd  fwd+bwd | speedup")
+        for b, hw, c in shapes:
+            m = max_warp_displacement(hw, 0.1)
+            pf, pb = bench(
+                grid_sample_bicubic_pallas, b, hw, c, m, args.chain, args.reps, dtype,
+                flow_scale=0.02,
+            )
+            af, ab = bench(
+                grid_sample_bicubic_pallas_adaptive, b, hw, c, m, args.chain, args.reps,
+                dtype, flow_scale=0.02,  # small flow -> half-band branch executes
+            )
+            print(
+                f"  {hw:4d}² c{c:3d} b{b} M={m:3d} | {pf:9.2f} {pb:8.2f} |"
+                f" {af:9.2f} {ab:8.2f} | {pb / ab:5.2f}×",
+                flush=True,
+            )
+        return
     print("  shape              |   scan fwd  fwd+bwd |  pallas fwd  fwd+bwd | speedup")
     for b, hw, c in SHAPES:
         m = max_warp_displacement(hw, 0.1)
