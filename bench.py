@@ -104,7 +104,10 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
 
         flops = {}
         for name, epoch in (("even", 8), ("odd", 11), ("r1", 9)):
-            fn = trainer.step_variant(epoch)
+            # fresh jit of the raw fn: the timing loop's cached variant
+            # would replay its jaxpr on .lower() and never re-fire the
+            # warp kernels' trace-time FLOP meter
+            fn = jax.jit(trainer.step_raw(epoch), donate_argnums=0)
             with warp_pallas.flop_meter() as acc:
                 lowered = fn.lower(state, batch)
             xla = float(lowered.compile().cost_analysis().get("flops", 0.0))

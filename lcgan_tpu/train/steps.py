@@ -220,7 +220,7 @@ class Trainer:
         return new_state, g_loss, d_loss
 
     # ------------------------------------------------------------------
-    def _build_step(self, even: bool, with_r1: bool, frozen: bool):
+    def _build_raw(self, even: bool, with_r1: bool, frozen: bool):
         fn = functools.partial(self._iteration, even=even, with_r1=with_r1, frozen=frozen)
         if self.mesh is not None:
             fn = jax.shard_map(
@@ -230,7 +230,17 @@ class Trainer:
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
-        return jax.jit(fn, donate_argnums=0)
+        return fn
+
+    def _build_step(self, even: bool, with_r1: bool, frozen: bool):
+        return jax.jit(self._build_raw(even, with_r1, frozen), donate_argnums=0)
+
+    def step_raw(self, epoch: int):
+        """The UNJITTED iteration fn for this epoch's schedule slot — for
+        analysis passes (e.g. bench.py MFU) that need a FRESH trace: the
+        cached jit's .lower() replays a cached jaxpr, which skips the warp
+        kernels' trace-time FLOP meter."""
+        return self._build_raw(epoch % 2 == 0, epoch % 8 == 1, epoch >= self.cfg.freezeD_start)
 
     def step_variant(self, epoch: int):
         """Host-side static dispatch of the reference's schedule
