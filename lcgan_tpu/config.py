@@ -97,6 +97,16 @@ class Config:
     # loses at <=64², wins 1.9x at 128², tools/warp_blocks_probe.py).
     warp_pallas_min_res: int = 128
     warp_adaptive_band: bool = True
+    # Batch the even-iteration views through single G/D applications
+    # (3 G applies -> 1 at 3B; the D-step's 4 applies -> 1 at 4B) instead of
+    # the reference's separate per-view calls. Numerically exact: mbstd gets
+    # per-view statistics (ops/mbstd.py) and the w-avg update replays the
+    # per-view sequential lerps (models/generator.py). Measured on the v5e at
+    # 256²/b8: a slight LOSS (even step 16.2 vs 17.2 imgs/sec) — conv matmul
+    # M-dims are already B·H·W, so there is no MXU fill to win, and the 3B
+    # remat blocks schedule worse. Default off; kept as a tested alternative
+    # formulation for small-map/large-batch regimes.
+    view_batched_steps: bool = False
 
     # ------------------------------------------------------------------
     @property

@@ -64,8 +64,8 @@ class DiscriminatorEpilogue(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = minibatch_stddev(x, group_size=self.mbstd_group_size)
+    def __call__(self, x: jax.Array, num_views: int = 1) -> jax.Array:
+        x = minibatch_stddev(x, group_size=self.mbstd_group_size, num_views=num_views)
         x = EqualizedConv2d(features=self.features, kernel_size=3, dtype=self.dtype, name="conv")(x)
         x = leaky_relu(x, 0.2)
         # torch flattens NCHW row-major: (C, H, W); transpose NHWC to match so
@@ -100,8 +100,11 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, image: jax.Array, get_embedding_features: bool = False
+        self, image: jax.Array, get_embedding_features: bool = False, num_views: int = 1
     ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+        """``num_views``: image is that many independent view-batches stacked
+        along the batch axis (see ops/mbstd.py) — everything here is
+        per-sample except mbstd, which gets the view count."""
         base_nf = self.resolved_base_nf
         x = EqualizedConv2d(features=base_nf, kernel_size=1, dtype=self.dtype, name="from_rgb")(
             image.astype(self.dtype)
@@ -119,7 +122,7 @@ class Discriminator(nn.Module):
             mbstd_group_size=self.mbstd_group_size,
             dtype=self.dtype,
             name="discriminator_epilogue",
-        )(h)
+        )(h, num_views)
         logit = ProjectionHead([out_features, 1], dtype=self.dtype, name="logit_mapper")(feat)
 
         geometry_embedding = None

@@ -198,7 +198,14 @@ class Generator(nn.Module):
         rand_noise2: jax.Array,  # (B, app_noise_dim)
         w_psi: float = -1.0,
         mean_axis: Optional[str] = None,
+        num_views: int = 1,
     ) -> jax.Array:
+        """``num_views > 1``: the batch is that many independent view-batches
+        stacked along axis 0 (the train step's batched form of the
+        reference's separate even-iteration G calls, worker.py:193-205).
+        Everything is per-sample except the w-avg buffer update, which
+        replays the same per-view sequential lerps the separate calls
+        perform — identical final stats, one fused forward."""
         geometry_channels = [self.geo_noise_dim] + [self.geo_latent_dim] * 12
         appearance_channels = [
             self.app_noise_dim,
@@ -214,14 +221,18 @@ class Generator(nn.Module):
 
         if w_psi <= 0:
             # new_avg = mean(w).lerp(avg, beta) = (1-beta)*mean(w) + beta*avg
-            m1 = jax.lax.stop_gradient(jnp.mean(geometry_code, axis=0))
-            m2 = jax.lax.stop_gradient(jnp.mean(appearance_code, axis=0))
-            if mean_axis is not None:
-                m1 = jax.lax.pmean(m1, mean_axis)
-                m2 = jax.lax.pmean(m2, mean_axis)
-            if not self.is_initializing():
-                avg1.value = m1 + self.w_avg_beta * (avg1.value - m1)
-                avg2.value = m2 + self.w_avg_beta * (avg2.value - m2)
+            # num_views > 1: one lerp per view, in stacking order — the same
+            # op sequence as separate per-view forwards (cnn.py:96-97).
+            for v in range(num_views):
+                sl = slice(None) if num_views == 1 else slice(v * (rand_noise1.shape[0] // num_views), (v + 1) * (rand_noise1.shape[0] // num_views))
+                m1 = jax.lax.stop_gradient(jnp.mean(geometry_code[sl], axis=0))
+                m2 = jax.lax.stop_gradient(jnp.mean(appearance_code[sl], axis=0))
+                if mean_axis is not None:
+                    m1 = jax.lax.pmean(m1, mean_axis)
+                    m2 = jax.lax.pmean(m2, mean_axis)
+                if not self.is_initializing():
+                    avg1.value = m1 + self.w_avg_beta * (avg1.value - m1)
+                    avg2.value = m2 + self.w_avg_beta * (avg2.value - m2)
         else:
             # avg.lerp(code, psi) = avg + psi*(code - avg)
             geometry_code = avg1.value + w_psi * (geometry_code - avg1.value)

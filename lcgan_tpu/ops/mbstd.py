@@ -12,8 +12,24 @@ import jax
 import jax.numpy as jnp
 
 
-def minibatch_stddev(x: jax.Array, group_size: int = 8, num_channels: int = 1) -> jax.Array:
-    """Append per-group feature stddev as extra channel(s). x: (N,H,W,C)."""
+def minibatch_stddev(
+    x: jax.Array, group_size: int = 8, num_channels: int = 1, num_views: int = 1
+) -> jax.Array:
+    """Append per-group feature stddev as extra channel(s). x: (N,H,W,C).
+
+    ``num_views > 1``: N is ``num_views`` independent view-batches stacked
+    along the batch axis; the statistic is computed within each view exactly
+    as if the views were separate forward passes (the grouping reshape is
+    strided, so naive concatenation would mix views). Lets the train step
+    batch the reference's separate per-view D applications (worker.py:163-173)
+    into one without changing a single value.
+    """
+    if num_views > 1:
+        n = x.shape[0]
+        assert n % num_views == 0, (n, num_views)
+        xv = x.reshape((num_views, n // num_views) + x.shape[1:])
+        out = jax.vmap(lambda v: minibatch_stddev(v, group_size, num_channels))(xv)
+        return out.reshape((n,) + out.shape[2:])
     n, h, w, c = x.shape
     g = min(group_size, n)
     f = num_channels

@@ -1030,11 +1030,6 @@ grid_sample_bicubic_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------------
 
 
-def adaptive_half_disp(m: int) -> int:
-    """The reduced band bound of the adaptive fast path."""
-    return m // 2 + 1
-
-
 def _fwd_band_flops(h: int, w: int, c: int, m: int, itemsize: int) -> int:
     """The general fwd kernel's matmul FLOPs (the _fwd_call noting formula)."""
     rows, tl, s_dma, _ = _tiles(h, w, c, m, itemsize)
@@ -1043,23 +1038,32 @@ def _fwd_band_flops(h: int, w: int, c: int, m: int, itemsize: int) -> int:
     return h * (w // tl) * pb * 2 * npack * c * s_dma * tl
 
 
-def _adaptive_worthwhile(h: int, w: int, c: int, m: int, m_h: int, itemsize: int) -> bool:
-    """Branch only when the half band buys enough to beat the cond's cost.
+def _adaptive_pick(h: int, w: int, c: int, m: int, itemsize: int) -> Optional[int]:
+    """The LARGEST reduced bound m_h whose realized band FLOPs clear the
+    0.65 gate — maximal flow coverage for a win that still beats the cond's
+    scheduling cost; None if no m_h pays.
 
     The realized FLOP ratio is coarser than (2m_h+1)/(2m+1): S is
-    DMA-rounded to 128 and the pack count rounds to the unroll factor —
-    at 512²c64 the ratio is only 0.75, and in-step the cond's scheduling
-    barriers (the predicate reduce serializes branch selection, and ops
-    inside cond branches don't fuse with neighbors) measurably outweigh
-    that thin win (G grad 230 → 257 ms at 512²/b4). 0.65 keeps the
-    128²/256²/1024² geometries (0.60/0.56/0.50) and rejects 512²c64;
-    micro-benched op-level wins at the kept shapes are 1.37×/1.70×/1.55×.
+    DMA-rounded to 128 and the pack count rounds to npack·unroll — the
+    fixed m//2+1 rule landed 512²c64 on a bad boundary (m_h=15 → pb 12/16,
+    ratio 0.75, and in-step the cond's scheduling barriers — the predicate
+    reduce serializes branch selection, and ops inside cond branches don't
+    fuse with neighbors — measurably outweigh that thin win: G grad
+    230 → 257 ms at 512²/b4). Searching m_h directly finds the boundary
+    cases the fixed rule misses: 512²c64 → m_h=14 (pb 8/16, ratio 0.50).
+    Picks at the flagship geometries (ratio): 128²c256 → 5 (0.60),
+    256²c128 → 9 (0.56), 512²c64 → 14 (0.50), 1024²c32 → 28 (0.50).
+
+    The 0.65 gate is the measured break-even: micro-benched op-level wins
+    at the kept shapes are 1.37×/1.70×/1.55× (128²/256²/1024²).
     """
     if _use_small(h, w, c, m, itemsize):
-        return False  # small maps: band already tiny, cond never pays
+        return None  # small maps: band already tiny, cond never pays
     full = _fwd_band_flops(h, w, c, m, itemsize)
-    half = _fwd_band_flops(h, w, c, m_h, itemsize)
-    return half <= 0.65 * full
+    for m_h in range(m - 1, 2, -1):
+        if _fwd_band_flops(h, w, c, m_h, itemsize) <= 0.65 * full:
+            return m_h
+    return None
 
 
 def grid_sample_bicubic_pallas_adaptive(
@@ -1073,8 +1077,10 @@ def grid_sample_bicubic_pallas_adaptive(
     i.e. M̂ = 9 at 256². Per-warp FLOPs scale as (2M+1)·(TL+2M), so a
     half-size band runs the sweep at ~0.4-0.5× the FLOPs.
 
-    Mechanism: a two-branch ``lax.cond`` between kernels compiled at
-    ``m_h = m//2 + 1`` and at the full ``m``, selected ON DEVICE by the
+    Mechanism: a two-branch ``lax.cond`` between kernels compiled at a
+    reduced ``m_h`` (:func:`_adaptive_pick` — the largest bound whose
+    rounding-aware FLOPs clear the gate) and at the full ``m``, selected
+    ON DEVICE by the
     measured displacement. Exactness is structural: the fast branch is
     taken only when every cubic tap (|t| < 2 support around the sample
     point) lies inside the reduced band, in which case the two branches
@@ -1085,9 +1091,9 @@ def grid_sample_bicubic_pallas_adaptive(
     probe, in the trained steady state).
     """
     m = int(max_disp)
-    m_h = adaptive_half_disp(m)
     b, h, w, c = x.shape
-    if m_h >= m or not _adaptive_worthwhile(h, w, c, m, m_h, x.dtype.itemsize):
+    m_h = _adaptive_pick(h, w, c, m, x.dtype.itemsize)
+    if m_h is None or m_h >= m:
         return grid_sample_bicubic_pallas(x, grid, m, interpret)
     fx, fy = _coords(grid, h, w)
     dx_max = jnp.max(jnp.abs(fx - jax.lax.broadcasted_iota(jnp.float32, fx.shape, 2)))

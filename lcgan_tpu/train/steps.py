@@ -83,14 +83,15 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
-    def _g_apply(self, params, stats, z1, z2):
+    def _g_apply(self, params, stats, z1, z2, num_views: int = 1):
         out, mut = self.generator.apply(
-            {"params": params, "stats": stats}, z1, z2, -1.0, mean_axis=self.axis, mutable=["stats"]
+            {"params": params, "stats": stats}, z1, z2, -1.0, mean_axis=self.axis,
+            num_views=num_views, mutable=["stats"]
         )
         return out, mut["stats"]
 
-    def _d_apply(self, params, img, emb: bool):
-        return self.discriminator.apply({"params": params}, img, emb)
+    def _d_apply(self, params, img, emb: bool, num_views: int = 1):
+        return self.discriminator.apply({"params": params}, img, emb, num_views)
 
     # ------------------------------------------------------------------
     def _iteration(
@@ -109,7 +110,43 @@ class Trainer:
         z_g2 = jax.random.normal(k[1], (local_b, cfg.app_noise_dim))
 
         # ---------------- G step (worker.py:179-214) ----------------
+        # view_batched_steps: stack the even iteration's three G views
+        # (anchor / geometry-resampled / appearance-resampled) and feed G and
+        # D ONCE at 3B instead of three times at B (the reference makes
+        # separate calls, worker.py:193-205). Per-sample ops are unchanged;
+        # the two batch-coupled pieces are made view-exact explicitly —
+        # mbstd computes per-view statistics (ops/mbstd.py) and the w-avg
+        # buffer replays the per-view sequential lerps (models/generator.py).
+        # Same RNG draw order as the unbatched form, so both paths consume
+        # identical noise and are numerically equivalent (tested).
+        batched = cfg.view_batched_steps
+
         def g_loss_fn(g_params, g_stats):
+            if even and batched:
+                z_r1 = jax.random.normal(k[2], (local_b, cfg.geo_noise_dim))
+                z_r2 = jax.random.normal(k[3], (local_b, cfg.app_noise_dim))
+                z1_all = jnp.concatenate([z_g1, z_r1, z_g1], axis=0)
+                z2_all = jnp.concatenate([z_g2, z_g2, z_r2], axis=0)
+                views, g_stats = self._g_apply(g_params, g_stats, z1_all, z2_all, num_views=3)
+                logits, geo_e, app_e = self._d_apply(state.d_params, views, True, num_views=3)
+                logit = logits[:local_b]
+                # anchor→(feat, feat), res_geo→(geo_pos, app_neg),
+                # res_app→(geo_neg, app_pos) — the unbatched triple's layout.
+                geo_feat, geo_pos, geo_neg = jnp.split(geo_e, 3, axis=0)
+                app_feat, app_neg, app_pos = jnp.split(app_e, 3, axis=0)
+                adv = bce_logits(logit, 1.0)
+                aux = (
+                    contrastive_loss(geo_feat, geo_pos, geo_neg, cfg.tau)
+                    + contrastive_loss(app_feat, app_pos, app_neg, cfg.tau)
+                ) * cfg.l_aux
+                sp = (
+                    sparsity_loss(
+                        g_params["geometry_mapping"]["diagonal_params"],
+                        g_params["appearance_mapping"]["diagonal_params"],
+                    )
+                    * cfg.l_s
+                )
+                return adv + aux + sp, g_stats
             anchor, g_stats = self._g_apply(g_params, g_stats, z_g1, z_g2)
             if even:
                 z_r1 = jax.random.normal(k[2], (local_b, cfg.geo_noise_dim))
@@ -175,6 +212,40 @@ class Trainer:
                 d_params = jax.tree.map(
                     lambda p, f: jax.lax.stop_gradient(p) if f else p, d_params, mask
                 )
+            if even and batched:
+                # One D application over [fake, real, geo-view, app-view] at
+                # 4B (the reference's four separate calls, worker.py:151-173).
+                # Computing embeddings for the fake rows too is a few extra
+                # tiny projection matmuls; their values are unused.
+                stacked = jnp.concatenate(
+                    [fake, image, batch["geometry_change"], batch["appearance_change"]], axis=0
+                )
+                logits, geo_e, app_e = self._d_apply(d_params, stacked, True, num_views=4)
+                fake_loss = bce_logits(logits[:local_b], 0.0)
+                real_logit = logits[local_b : 2 * local_b]
+                geo_feat, geo_pos, geo_neg = (
+                    geo_e[local_b : 2 * local_b],
+                    geo_e[2 * local_b : 3 * local_b],
+                    geo_e[3 * local_b :],
+                )
+                app_feat, app_neg, app_pos = (
+                    app_e[local_b : 2 * local_b],
+                    app_e[2 * local_b : 3 * local_b],
+                    app_e[3 * local_b :],
+                )
+                adv = bce_logits(real_logit, 1.0) + fake_loss
+                aux = (
+                    contrastive_loss(geo_feat, geo_pos, geo_neg, cfg.tau)
+                    + contrastive_loss(app_feat, app_pos, app_neg, cfg.tau)
+                ) * cfg.l_aux
+                return adv + aux
+            if not even and not with_r1 and batched:
+                # fake + real in one application at 2B. The R1 variant keeps
+                # the real pass separate — it sits under an inner jax.grad
+                # w.r.t. the image, which the fake rows must not join.
+                stacked = jnp.concatenate([fake, image], axis=0)
+                logits, _, _ = self._d_apply(d_params, stacked, False, num_views=2)
+                return bce_logits(logits[:local_b], 0.0) + bce_logits(logits[local_b:], 1.0)
             fake_logit, _, _ = self._d_apply(d_params, fake, False)
             fake_loss = bce_logits(fake_logit, 0.0)
             if even:

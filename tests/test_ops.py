@@ -111,3 +111,17 @@ def test_mbstd_matches_torch_reference(rng, n, g):
     yt = yt.repeat(gg, 1, h, w)
     ref = torch.cat([xt, yt], dim=1)
     np.testing.assert_allclose(np.asarray(y), nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("views,b", [(3, 4), (4, 2), (2, 8)])
+def test_mbstd_num_views_equals_separate_calls(rng, views, b):
+    """num_views>1 must equal running each view through mbstd separately
+    (the contract the view-batched train step relies on)."""
+    c, h, w = 6, 4, 4
+    x = rng.standard_normal((views * b, h, w, c), dtype=np.float32)
+    got = minibatch_stddev(jnp.asarray(x), group_size=4, num_views=views)
+    want = jnp.concatenate(
+        [minibatch_stddev(jnp.asarray(x[v * b : (v + 1) * b]), group_size=4) for v in range(views)],
+        axis=0,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)

@@ -317,3 +317,35 @@ def test_train_iteration_accepts_numpy_host_batch():
     new_state, g_loss, d_loss = trainer.train_iteration(state, batch, 1)
     assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
     assert len(new_state.g_params["const"].sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("epoch", [0, 1, 3])  # even+aux, odd+r1, odd plain
+def test_view_batched_step_matches_unbatched(epoch):
+    """view_batched_steps fuses the per-view G/D applications into single
+    larger-batch calls (steps.py); per-view mbstd and sequential w-avg lerps
+    make it numerically equivalent to the reference's separate calls."""
+    states, stats = [], []
+    for flag in (False, True):
+        cfg = tiny_cfg(adam_eps=1e-3, view_batched_steps=flag)
+        trainer = Trainer(cfg, mesh=None)
+        state = trainer.init_state()
+        batch = fake_batch(cfg, cfg.batch_size)
+        new_state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
+        states.append((new_state, float(g_loss), float(d_loss)))
+        stats.append(jax.tree.map(np.asarray, new_state.g_stats))
+    (s0, g0, d0), (s1, g1, d1) = states
+    np.testing.assert_allclose(g0, g1, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(d0, d1, rtol=2e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        s0.g_params,
+        s1.g_params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        s0.d_params,
+        s1.d_params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6), stats[0], stats[1]
+    )

@@ -70,8 +70,7 @@ def test_adaptive_band_matches_oracle_both_branches(small_flow, rng):
     flow routes to the half-band kernel, a near-bound flow falls back to
     the full band — values AND both gradients match the banded form."""
     from lcgan_tpu.ops.warp_pallas import (
-        _adaptive_worthwhile,
-        adaptive_half_disp,
+        _adaptive_pick,
         grid_sample_bicubic_pallas_adaptive,
     )
 
@@ -84,8 +83,8 @@ def test_adaptive_band_matches_oracle_both_branches(small_flow, rng):
     scale = 0.2 if small_flow else 1.0  # 0.2: |disp| well under m_h - 2
     grid = identity_like_coordinates(b, h, w) + flow * mfs * scale
     m = max_warp_displacement(max(h, w), mfs)
-    assert adaptive_half_disp(m) < m
-    assert _adaptive_worthwhile(h, w, c, m, adaptive_half_disp(m), 4)
+    m_h = _adaptive_pick(h, w, c, m, 4)
+    assert m_h is not None and m_h < m  # the cond engages at this geometry
     cot = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
 
     out = jax.jit(

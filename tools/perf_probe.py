@@ -36,7 +36,7 @@ def time_pipelined(fn, n=16):
     return (time.perf_counter() - t0) / n
 
 
-def probe(res: int, batch: int):
+def probe(res: int, batch: int, view_batched: bool = True):
     cfg = Config(
         model_name="/tmp/lcgan_perf",
         img_resolution=res,
@@ -44,6 +44,7 @@ def probe(res: int, batch: int):
         compute_dtype="bfloat16",
         remat_blocks=True,
         freezeD_start=10**9,
+        view_batched_steps=view_batched,
     )
     trainer = Trainer(cfg, mesh=None)
     state = trainer.init_state()
@@ -89,12 +90,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, nargs="+", default=[256, 512, 1024])
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--view_batched", default=True, action=argparse.BooleanOptionalAction)
     args = ap.parse_args()
     print(f"devices: {jax.devices()}")
     for res in args.res:
         batch = args.batch if res <= 256 else 8 if res == 512 else 4
         try:
-            r = probe(res, batch)
+            r = probe(res, batch, view_batched=args.view_batched)
             print(
                 f"res={res:5d} batch={batch:3d} | "
                 f"even {r['even']:8.1f} | odd {r['odd']:8.1f} | "
