@@ -852,7 +852,7 @@ def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note: bool
         in_specs=[
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, rows, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
@@ -921,7 +921,7 @@ def _vjp_bwd(max_disp, interpret, note, res, g):
             pl.BlockSpec(
                 (1, rows, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
@@ -965,9 +965,9 @@ def _vjp_bwd(max_disp, interpret, note, res, g):
             functools.partial(_dx_gather_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c),
             grid=(b, h // rows_dx, w // tl),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, rows_dx, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
@@ -1006,7 +1006,7 @@ def _vjp_bwd(max_disp, interpret, note, res, g):
                     (1, rows_dx, c, tl), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((b, nrb, nxt, p_dx, nc, s_dma), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((p_dx, nc, s_dma), jnp.float32),
