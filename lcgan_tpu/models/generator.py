@@ -114,13 +114,14 @@ class SynthesisBlock(nn.Module):
         )
         if self.warp_impl == "none":  # diagnostic only: skip the warp
             warped = y
-        elif use_pallas and self.warp_adaptive_band:
-            # band sized by the measured flow, full-M fallback (exact either
-            # way); trained flows sit at ~0.44 of the tanh bound, making the
-            # half band the steady-state path (tools/flow_window_probe.py)
-            warped = grid_sample_bicubic_pallas_adaptive(y, correspondence, max_disp)
         elif use_pallas:
-            warped = grid_sample_bicubic_pallas(y, correspondence, max_disp)
+            # warp_adaptive_band: per-row tap-exact band windows derived
+            # in-kernel from the flow itself (ops/warp_pallas._dyn_window) —
+            # work scales with the actual tap spread, not the tanh bound;
+            # off = static worst-case bands (diagnostic/A-B baseline)
+            warped = grid_sample_bicubic_pallas(
+                y, correspondence, max_disp, dyn=self.warp_adaptive_band
+            )
         else:
             warped = grid_sample_bicubic_banded(y, correspondence, max_disp)
         return warped.astype(self.dtype)

@@ -16,9 +16,13 @@ plus two cheap elementwise scalings that XLA fuses into the conv's prologue/
 epilogue. The demod norm reduces to a (B,I)x(I,O) matmul.
 
 The ``up=2`` path reproduces torch ``conv_transpose2d(stride=2,
-padding=(k-1)//2, output_padding=1)`` geometry (custom_layers.py:74-80) via
-``conv_general_dilated`` with ``lhs_dilation=2`` and asymmetric padding
-``(k-1-p, k-p)`` with a spatially flipped kernel.
+padding=(k-1)//2, output_padding=1)`` geometry (custom_layers.py:74-80).
+For the k=3 case the reference always uses, it runs as FOUR phase convs
+(see :func:`_up2_phases`): the lhs-dilated form makes the TPU conv emitter
+multiply zeros for 3/4 of its MACs, and its weight-gradient (a conv against
+the dilated input) is worse still — measured 1.7x faster fwd+grad at the
+32->64/c512 block (tools/upconv_probe.py). A generic ``lhs_dilation=2``
+fallback covers other kernel sizes.
 """
 
 from __future__ import annotations
@@ -32,6 +36,44 @@ from flax import linen as nn
 from lcgan_tpu.ops.equalized import PRECISION, EqualizedLinear, _equalized_init, equalized_scale
 
 Dtype = Any
+
+# Trace-time A/B switch for the k=3 up-conv formulation (tools/upconv_probe.py
+# and step-breakdown probes flip it); production always runs the phase path.
+UP2_PHASES = True
+
+
+def _up2_phases(xs: jax.Array, w_t: jax.Array) -> jax.Array:
+    """k=3 transposed conv (s=2, p=1, op=1) as four phase convs, interleaved.
+
+    Output row o = 2i of the transpose touches dilated taps {2i-1, 2i, 2i+1},
+    of which only 2i holds data: y[2i] = w_t[1] x[i]. Row o = 2i+1 touches
+    {2i, 2i+2}: y[2i+1] = w_t[0] x[i] + w_t[2] x[i+1], where x[H] reads as
+    zero (that zero IS output_padding=1). The decomposition is separable, so
+    the four 2-D phases use tap sets {1}x{1}, {1}x{0,2}, {0,2}x{1},
+    {0,2}x{0,2} — 9 MACs per INPUT pixel total vs 36 for the naive dilated
+    form. Exactly equal to the dilated evaluation (same taps, same sums).
+    ``w_t`` is the spatially flipped kernel.
+    """
+    b, h, wd, _ = xs.shape
+    o = w_t.shape[-1]
+
+    def conv(kern, pads):
+        return jax.lax.conv_general_dilated(
+            xs,
+            kern,
+            window_strides=(1, 1),
+            padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=PRECISION,
+        )
+
+    ee = conv(w_t[1:2, 1:2], ((0, 0), (0, 0)))
+    eo = conv(w_t[1:2, 0::2], ((0, 0), (0, 1)))
+    oe = conv(w_t[0::2, 1:2], ((0, 1), (0, 0)))
+    oo = conv(w_t[0::2, 0::2], ((0, 1), (0, 1)))
+    rows_e = jnp.stack([ee, eo], axis=3).reshape(b, h, 2 * wd, o)
+    rows_o = jnp.stack([oe, oo], axis=3).reshape(b, h, 2 * wd, o)
+    return jnp.stack([rows_e, rows_o], axis=2).reshape(b, 2 * h, 2 * wd, o)
 
 
 def modulated_conv2d(
@@ -67,21 +109,24 @@ def modulated_conv2d(
             precision=PRECISION,
         )
     else:
-        # torch conv_transpose2d(stride=up, padding=pad, output_padding=1) as a
-        # direct conv over an lhs-dilated input with flipped kernel
+        # torch conv_transpose2d(stride=up, padding=pad, output_padding=1)
         # (custom_layers.py:74-80; output size = up*H exactly).
         assert up == 2, "reference only uses up in {1, 2}"
         w_t = jnp.flip(weight, axis=(0, 1)).astype(dtype)
-        lo, hi = k - 1 - pad, k - pad  # output_padding=1 adds one on the hi side
-        y = jax.lax.conv_general_dilated(
-            xs,
-            w_t,
-            window_strides=(1, 1),
-            padding=((lo, hi), (lo, hi)),
-            lhs_dilation=(up, up),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=PRECISION,
-        )
+        if k == 3 and UP2_PHASES:
+            y = _up2_phases(xs, w_t)
+        else:
+            # generic fallback: direct conv over an lhs-dilated input
+            lo, hi = k - 1 - pad, k - pad  # output_padding=1 adds one hi-side
+            y = jax.lax.conv_general_dilated(
+                xs,
+                w_t,
+                window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)),
+                lhs_dilation=(up, up),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=PRECISION,
+            )
     # epilogue in the compute dtype: an fp32 demod multiply would materialize
     # an fp32 copy of the (dominant) activation tensor under bf16 training
     y = y * demod.astype(y.dtype)[:, None, None, :] + bias.astype(y.dtype)

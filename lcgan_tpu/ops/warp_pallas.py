@@ -33,6 +33,16 @@ slabs arrive pre-packed (Mosaic cannot reshape sliced values in-kernel),
 and band windows are walked pack-aligned: out-of-band rows get K = 0
 weights from the cubic kernel's compact support, so the slack is free.
 
+The second lever is the flow-adaptive band (``dyn=True``, the default):
+every band sweep derives its window from the coords it already holds
+(:func:`_dyn_window` — per-output-row tap extents in fwd/dgrid/scatter,
+a per-tile displacement bound in gather-dx), so the ``fori_loop`` trip
+count is data-dependent while every shape stays static. Work scales with
+the ACTUAL tap spread — typically 4-8 band rows — instead of the
+worst-case 2M+1 = 33/59/109 the tanh bound prices at the flagships, with
+no ``lax.cond`` (whose scheduling barriers cost more than a halved band
+saved at 512², measured round 3) and no fallback cliff.
+
 The backward is more kernels under ``jax.custom_vjp``:
   * d/dgrid — forward-style packed band sweep with [K′ | K]
     column-stacked in one rhs (both coordinate gradients per matmul),
@@ -68,6 +78,10 @@ from jax.experimental.pallas import tpu as pltpu
 # recompute is included — matching how cost_analysis counts rematerialized
 # convs). `useful` is the 16-tap gather-equivalent work (2 FLOPs/tap/channel),
 # the denominator-free measure of algorithmic overhead of the banded form.
+# Under the dynamic band (dyn=True) the executed matmul count is
+# data-dependent and BELOW the noted static full-band figure, which is then
+# an upper bound on work — `mfu` overstates utilization while `mfu_useful`
+# stays exact; read the pair as a bracket.
 _flop_accum = None
 
 
@@ -188,12 +202,38 @@ def _tiles(h: int, w: int, c: int, m: int, itemsize: int, extra_row_bytes: int =
     return rows, tl, s_dma, wpad
 
 
+def _dyn_window(fyr, y0, npack, unroll, p_slab, pb):
+    """Tap-exact per-row band window: (start pack, fori trips).
+
+    A bicubic sample at f reads taps floor(f)−1 … floor(f)+2 only, so the
+    band an output row actually needs is the min/max of its OWN sample
+    coords — typically 4-8 slab rows even when the worst-case displacement
+    bound M prices 2M+1 (33/59/109 at the flagships). Derived in-kernel
+    from ``fyr`` (two lane reductions), so no host scalar, no ``lax.cond``,
+    and no fallback cliff: rows that pack-alignment slack drags in get
+    exact K = 0 weights, so only the trip count changes — never the values.
+    Clamps keep every access inside the static slab for any fy.
+    """
+    lo = jnp.floor(jnp.min(fyr)) - 1.0 - y0  # slab-row coords
+    hi = jnp.floor(jnp.max(fyr)) + 2.0 - y0
+    last = p_slab * npack - 1
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, last)
+    hi_i = jnp.clip(hi.astype(jnp.int32), lo_i, last)
+    p0 = lo_i // npack
+    trips = (hi_i // npack - p0 + unroll) // unroll  # ceil((packs)/unroll)
+    trips = jnp.minimum(trips, pb // unroll)
+    p0 = jnp.clip(p0, 0, p_slab - trips * unroll)
+    return p0, trips
+
+
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, m, c, pb):
+def _fwd_kernel(
+    fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, m, c, pb, dyn=True
+):
     npack = _npack(c)
     unroll = _unroll(c)
     b = pl.program_id(0)
@@ -216,7 +256,10 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
         fxr = fx_ref[0, pl.ds(r, 1), :]  # (1, TL)
         fyr = fy_ref[0, pl.ds(r, 1), :]
         ax_t = _k(fxr - scol).astype(cdt)  # (S, TL)
-        p0 = r // npack  # first pack-aligned window covering the band
+        if dyn:  # tap-exact band from the row's own coords (see _dyn_window)
+            p0, trips = _dyn_window(fyr, y0, npack, unroll, slab.shape[0], pb)
+        else:
+            p0, trips = r // npack, pb // unroll
 
         def band_body(i, carry):
             # ax_t is shared across the whole band, so each pack of npack
@@ -240,7 +283,7 @@ def _fwd_kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem, *, rows, tl, s_dma, 
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (unroll * npack))
+        accs = jax.lax.fori_loop(0, trips, band_body, (zero,) * (unroll * npack))
         acc = accs[0]
         for q in range(1, unroll * npack):
             acc = acc + accs[q]
@@ -331,7 +374,7 @@ def _small_tile_coords(fx, fy, b, t_tiles, lanes):
     return fx.reshape(b, t_tiles, lanes), fy.reshape(b, t_tiles, lanes)
 
 
-def _fwd_small_kernel(fx_ref, fy_ref, xp_ref, out_ref, *, t_tiles, lanes, m, c, pb, nr):
+def _fwd_small_kernel(fx_ref, fy_ref, xp_ref, out_ref, *, t_tiles, lanes, m, c, pb, nr, dyn=True):
     npack = _npack(c)
     unroll = _unroll(c)
     s_dma = xp_ref.shape[-1]
@@ -342,7 +385,10 @@ def _fwd_small_kernel(fx_ref, fy_ref, xp_ref, out_ref, *, t_tiles, lanes, m, c, 
         fxr = fx_ref[0, pl.ds(t, 1), :]  # (1, lanes) — lanes = nr rows × w cols
         fyr = fy_ref[0, pl.ds(t, 1), :]
         ax_t = _k(fxr - scol).astype(cdt)  # (S, lanes): whole-width window per position
-        p0 = (t * nr) // npack
+        if dyn:  # tap-exact band for the tile's nr rows (see _dyn_window)
+            p0, trips = _dyn_window(fyr, -float(m), npack, unroll, xp_ref.shape[1], pb)
+        else:
+            p0, trips = (t * nr) // npack, pb // unroll
 
         def band_body(i, carry):
             accs = list(carry)
@@ -358,7 +404,7 @@ def _fwd_small_kernel(fx_ref, fy_ref, xp_ref, out_ref, *, t_tiles, lanes, m, c, 
             return tuple(accs)
 
         zero = jnp.zeros((c, lanes), jnp.float32)
-        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (unroll * npack))
+        accs = jax.lax.fori_loop(0, trips, band_body, (zero,) * (unroll * npack))
         acc = accs[0]
         for q in range(1, unroll * npack):
             acc = acc + accs[q]
@@ -369,7 +415,8 @@ def _fwd_small_kernel(fx_ref, fy_ref, xp_ref, out_ref, *, t_tiles, lanes, m, c, 
 
 
 def _dgrid_small_kernel(
-    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, *, t_tiles, lanes, m, c, pb, nr
+    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, *, t_tiles, lanes, m, c, pb, nr,
+    dyn=True,
 ):
     npack = _npack(c)
     unroll = _unroll(c)
@@ -382,7 +429,10 @@ def _dgrid_small_kernel(
         fyr = fy_ref[0, pl.ds(t, 1), :]
         tx = fxr - scol
         ax2 = jnp.concatenate((_dk(tx), _k(tx)), axis=1).astype(cdt)  # (S, 2·lanes)
-        p0 = (t * nr) // npack
+        if dyn:
+            p0, trips = _dyn_window(fyr, -float(m), npack, unroll, xp_ref.shape[1], pb)
+        else:
+            p0, trips = (t * nr) // npack, pb // unroll
 
         def band_body(i, carry):
             accs = list(carry)
@@ -400,7 +450,7 @@ def _dgrid_small_kernel(
             return tuple(accs)
 
         zero = jnp.zeros((c, lanes), jnp.float32)
-        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (2 * unroll * npack))
+        accs = jax.lax.fori_loop(0, trips, band_body, (zero,) * (2 * unroll * npack))
         gr = g_ref[0, t].astype(jnp.float32)  # (C, lanes)
         acc_x = accs[0]
         acc_y = accs[1]
@@ -414,7 +464,7 @@ def _dgrid_small_kernel(
     jax.lax.fori_loop(0, t_tiles, tile_body, 0)
 
 
-def _dx_small_kernel(fx_ref, fy_ref, g_ref, out_ref, *, t_tiles, lanes, m, c, pb, nr):
+def _dx_small_kernel(fx_ref, fy_ref, g_ref, out_ref, *, t_tiles, lanes, m, c, pb, nr, dyn=True):
     """Scatter-style d/dx into the whole-map packed slab (fp32, in VMEM).
 
     Single window ⇒ no inter-tile halos: each output tile's band matmul
@@ -433,7 +483,10 @@ def _dx_small_kernel(fx_ref, fy_ref, g_ref, out_ref, *, t_tiles, lanes, m, c, pb
         fyr = fy_ref[0, pl.ds(t, 1), :]
         ax_rt = jnp.transpose(_k(fxr - scol).astype(cdt))  # (lanes, S)
         g_t = g_ref[0, t]  # (C, lanes)
-        p0 = (t * nr) // npack
+        if dyn:
+            p0, trips = _dyn_window(fyr, -float(m), npack, unroll, out_ref.shape[1], pb)
+        else:
+            p0, trips = (t * nr) // npack, pb // unroll
 
         def band_body(i, _):
             for u_slot in range(unroll):
@@ -448,20 +501,20 @@ def _dx_small_kernel(fx_ref, fy_ref, g_ref, out_ref, *, t_tiles, lanes, m, c, pb
                 out_ref[0, pk] = out_ref[0, pk] + p  # (npack·C, S)
             return 0
 
-        jax.lax.fori_loop(0, pb // unroll, band_body, 0)
+        jax.lax.fori_loop(0, trips, band_body, 0)
         return 0
 
     jax.lax.fori_loop(0, t_tiles, tile_body, 0)
 
 
-def _fwd_small_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note: bool = True):
+def _fwd_small_call(x, grid, m: int, interpret: bool, note: bool = True, dyn: bool = True):
     b, h, w, c = x.shape
     groups = _small_groups(h, w, c, m)
     if groups > 1:
         grid_g = jnp.broadcast_to(grid[None], (groups,) + grid.shape).reshape(
             groups * b, h, w, 2
         )
-        out = _fwd_small_call(_split_groups(x, groups), grid_g, m, interpret, note)
+        out = _fwd_small_call(_split_groups(x, groups), grid_g, m, interpret, note, dyn)
         return _merge_groups(out, groups)
     fx, fy = _coords(grid, h, w)
     npack = _npack(c)
@@ -473,7 +526,8 @@ def _fwd_small_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note
 
     out = pl.pallas_call(
         functools.partial(
-            _fwd_small_kernel, t_tiles=t_tiles, lanes=lanes, m=m, c=c, pb=pb, nr=nr
+            _fwd_small_kernel, t_tiles=t_tiles, lanes=lanes, m=m, c=c, pb=pb, nr=nr,
+            dyn=dyn,
         ),
         grid=(b,),
         in_specs=[
@@ -493,7 +547,7 @@ def _fwd_small_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note
     return jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(b, h, w, c)
 
 
-def _bwd_small_call(x, grid, g, m: int, interpret: bool, note: bool = True):
+def _bwd_small_call(x, grid, g, m: int, interpret: bool, note: bool = True, dyn: bool = True):
     b, h, w, c = x.shape
     groups = _small_groups(h, w, c, m)
     if groups > 1:
@@ -501,7 +555,8 @@ def _bwd_small_call(x, grid, g, m: int, interpret: bool, note: bool = True):
             groups * b, h, w, 2
         )
         dx, dfx, dfy = _bwd_small_call(
-            _split_groups(x, groups), grid_g, _split_groups(g, groups), m, interpret, note
+            _split_groups(x, groups), grid_g, _split_groups(g, groups), m, interpret, note,
+            dyn,
         )
         # the grid is shared across channel groups: its cotangent sums
         return (
@@ -524,7 +579,7 @@ def _bwd_small_call(x, grid, g, m: int, interpret: bool, note: bool = True):
     g_p = g.astype(x_dtype).reshape(b, t_tiles, nr, w, c)
     g_p = jnp.transpose(g_p, (0, 1, 4, 2, 3)).reshape(b, t_tiles, c, lanes)
 
-    kw = dict(t_tiles=t_tiles, lanes=lanes, m=m, c=c, pb=pb, nr=nr)
+    kw = dict(t_tiles=t_tiles, lanes=lanes, m=m, c=c, pb=pb, nr=nr, dyn=dyn)
     coord_spec = pl.BlockSpec((1, t_tiles, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, t_tiles, c, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     slab_spec = pl.BlockSpec(
@@ -566,7 +621,8 @@ def _bwd_small_call(x, grid, g, m: int, interpret: bool, note: bool = True):
 
 
 def _dgrid_kernel(
-    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, slab, sem, *, rows, tl, s_dma, m, c, pb
+    fx_ref, fy_ref, g_ref, xp_ref, dfx_ref, dfy_ref, slab, sem, *, rows, tl, s_dma, m, c, pb,
+    dyn=True,
 ):
     """Forward-style band sweep with K′; reduce against cotangent over C."""
     unroll = _unroll(c)
@@ -595,7 +651,10 @@ def _dgrid_kernel(
         # npack pre-packed rows in a single full-m MXU op; y-weights
         # split/scale the output chunks on the VPU.
         ax2 = jnp.concatenate((_dk(tx), _k(tx)), axis=1).astype(cdt)  # (S, 2TL)
-        p0 = r // npack
+        if dyn:  # K and K' share the |t| < 2 support, so the same window is exact
+            p0, trips = _dyn_window(fyr, y0, npack, unroll, p_slab, pb)
+        else:
+            p0, trips = r // npack, pb // unroll
 
         def band_body(i, carry):
             accs = list(carry)
@@ -613,7 +672,7 @@ def _dgrid_kernel(
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(0, pb // unroll, band_body, (zero,) * (2 * unroll * npack))
+        accs = jax.lax.fori_loop(0, trips, band_body, (zero,) * (2 * unroll * npack))
         gr = g_ref[0, r].astype(jnp.float32)  # (C, TL)
         acc_x = accs[0]
         acc_y = accs[1]
@@ -628,7 +687,8 @@ def _dgrid_kernel(
 
 
 def _dx_gather_kernel(
-    fxp_ref, fyp_ref, gp_ref, dx_ref, gslab, fxs, fys, axb, sem, *, rows, tl, s_dma, m, c
+    fxp_ref, fyp_ref, gp_ref, dx_ref, gslab, fxs, fys, axb, sem, *, rows, tl, s_dma, m, c,
+    dyn=True,
 ):
     """Transposed band: each INPUT row gathers from the 2M+1 output rows
     that can sample it. Gridded over input tiles; cotangent read with an
@@ -661,20 +721,39 @@ def _dx_gather_kernel(
         xt * tl
     ).astype(jnp.float32)
 
-    def axb_body(i, _):
+    # Per-tile displacement bound measured from the fys slab already in
+    # VMEM (folded into the AXB build loop — Mosaic has no 3-D iota):
+    # output row i can touch input row u only if |fy_i − u| < 2, and
+    # |fy_i − i| ≤ d_max over the tile, so the band per input row is
+    # 2(d_max+2)+1 rows — priced by the ACTUAL flow, not the tanh bound.
+    # Padded coords (±_FAR) are masked out of the max and still carry
+    # exact K = 0 weights if clamping drags them into a window.
+    def axb_body(i, dm):
         fxi = fxs[i]  # (1, S)
         axb[i] = _k(fxi.transpose() - vcol).astype(cdt)  # (S, TL)
-        return 0
+        if dyn:
+            dv = jnp.abs(fys[i] - (rb * rows - m + i).astype(jnp.float32))
+            dm = jnp.maximum(dm, jnp.max(jnp.where(dv < 1e8, dv, 0.0)))
+        return dm
 
-    jax.lax.fori_loop(0, srows, axb_body, 0)
+    dmax = jax.lax.fori_loop(0, srows, axb_body, jnp.float32(0))
+
+    trips_full = (band + _NWAY - 1) // _NWAY
+    if dyn:
+        d2 = dmax.astype(jnp.int32) + 3  # ceil + |t| < 2 support margin
+        trips = jnp.minimum((2 * d2 + 1 + _NWAY - 1) // _NWAY, trips_full)
+    else:
+        d2 = m
+        trips = trips_full
 
     def row_body(u, _):
         u_abs = (rb * rows + u).astype(jnp.float32)
+        s0 = jnp.clip(u + m - d2, 0, srows - trips * _NWAY)
 
         def band_body(iq, carry):
             accs = []
             for q in range(_NWAY):
-                i = u + iq * _NWAY + q  # output slab row
+                i = s0 + iq * _NWAY + q  # output slab row
                 ay_row = _k(fys[i] - u_abs).astype(cdt)  # (1, S)
                 gw = gslab[i] * ay_row  # (C, S)
                 accs.append(
@@ -684,9 +763,7 @@ def _dx_gather_kernel(
             return tuple(accs)
 
         zero = jnp.zeros((c, tl), jnp.float32)
-        accs = jax.lax.fori_loop(
-            0, (band + _NWAY - 1) // _NWAY, band_body, (zero,) * _NWAY
-        )
+        accs = jax.lax.fori_loop(0, trips, band_body, (zero,) * _NWAY)
         acc = accs[0]
         for q in range(1, _NWAY):
             acc = acc + accs[q]
@@ -697,7 +774,7 @@ def _dx_gather_kernel(
 
 
 def _dx_scatter_kernel(
-    fx_ref, fy_ref, g_ref, out_ref, dslab, sem, *, rows, tl, s_dma, m, c, pb
+    fx_ref, fy_ref, g_ref, out_ref, dslab, sem, *, rows, tl, s_dma, m, c, pb, dyn=True
 ):
     """d/dx as a scatter-style band: gridded over OUTPUT tiles, where the
     per-row x-weight matrix ax_rᵀ is shared across the whole band — so npack
@@ -729,7 +806,10 @@ def _dx_scatter_kernel(
         fyr = fy_ref[0, pl.ds(r, 1), :]
         ax_rt = jnp.transpose(_k(fxr - scol).astype(cdt))  # (TL, S)
         g_r = g_ref[0, r]  # (C, TL)
-        p0 = r // npack
+        if dyn:  # output row r scatters only to its own taps' input rows
+            p0, trips = _dyn_window(fyr, y0, npack, unroll, dslab.shape[0], pb)
+        else:
+            p0, trips = r // npack, pb // unroll
 
         def band_body(i, _):
             for u_slot in range(unroll):
@@ -744,7 +824,7 @@ def _dx_scatter_kernel(
                 dslab[pk] = dslab[pk] + p  # (npack·C, S)
             return 0
 
-        jax.lax.fori_loop(0, pb // unroll, band_body, 0)
+        jax.lax.fori_loop(0, trips, band_body, 0)
         return 0
 
     jax.lax.fori_loop(0, rows, row_body, 0)
@@ -833,10 +913,10 @@ def _packed_input(x_t: jax.Array, h: int, w: int, m: int, rows: int, wpad: int, 
     return xp.reshape(bdim, hp // npack, npack * c, wpad), p_slab
 
 
-def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note: bool = True):
+def _fwd_call(x, grid, m: int, interpret: bool, note: bool = True, dyn: bool = True):
     b, h, w, c = x.shape
     if _use_small(h, w, c, m, x.dtype.itemsize):
-        return _fwd_small_call(x, grid, m, interpret, note)
+        return _fwd_small_call(x, grid, m, interpret, note, dyn)
     fx, fy = _coords(grid, h, w)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, x.dtype.itemsize)
     npack = _npack(c)
@@ -847,7 +927,7 @@ def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note: bool
     xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb),
+        functools.partial(_fwd_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb, dyn=dyn),
         grid=(b, h // rows, w // tl),
         in_specs=[
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
@@ -867,9 +947,10 @@ def _fwd_call(x: jax.Array, grid: jax.Array, m: int, interpret: bool, note: bool
     return jnp.transpose(out, (0, 1, 3, 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def grid_sample_bicubic_pallas(
-    x: jax.Array, grid: jax.Array, max_disp: int, interpret: bool = False, note: bool = True
+    x: jax.Array, grid: jax.Array, max_disp: int, interpret: bool = False, note: bool = True,
+    dyn: bool = True,
 ) -> jax.Array:
     """Fused-kernel bicubic warp; same contract as the banded XLA form.
 
@@ -879,25 +960,25 @@ def grid_sample_bicubic_pallas(
     ``note=False`` suppresses the FLOP meter (used by the adaptive wrapper
     for the fallback branch so only executed work is counted).
     """
-    return _fwd_call(x, grid, int(max_disp), interpret, note)
+    return _fwd_call(x, grid, int(max_disp), interpret, note, dyn)
 
 
-def _vjp_fwd(x, grid, max_disp, interpret, note):
+def _vjp_fwd(x, grid, max_disp, interpret, note, dyn):
     # Residuals are EXACTLY the primal inputs: partial-eval then resolves
     # them to the original arrays instead of outputs of this call, so under
     # jax.checkpoint/remat the recompute graph DCEs the forward kernel
     # entirely (xp is rebuilt in bwd — a pad/transpose, ~1ms vs a kernel).
-    return _fwd_call(x, grid, int(max_disp), interpret, note), (x, grid)
+    return _fwd_call(x, grid, int(max_disp), interpret, note, dyn), (x, grid)
 
 
-def _vjp_bwd(max_disp, interpret, note, res, g):
+def _vjp_bwd(max_disp, interpret, note, dyn, res, g):
     m = int(max_disp)
     x, grid = res
     x_dtype, grid_dtype = x.dtype, grid.dtype
     b, h, w, c = x.shape
     itemsize = jnp.dtype(x_dtype).itemsize
     if _use_small(h, w, c, m, itemsize):
-        dx, dfx, dfy = _bwd_small_call(x, grid, g, m, interpret, note)
+        dx, dfx, dfy = _bwd_small_call(x, grid, g, m, interpret, note, dyn)
         dgrid = jnp.stack([dfx * (w * 0.5), dfy * (h * 0.5)], axis=-1).astype(grid_dtype)
         return dx, dgrid
     fx, fy = _coords(grid, h, w)
@@ -913,7 +994,7 @@ def _vjp_bwd(max_disp, interpret, note, res, g):
 
     # ---- d/dgrid: forward-style sweep with K' ----
     dfx, dfy = pl.pallas_call(
-        functools.partial(_dgrid_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb),
+        functools.partial(_dgrid_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb, dyn=dyn),
         grid=(b, h // rows, w // tl),
         in_specs=[
             pl.BlockSpec((1, rows, tl), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM),
@@ -962,7 +1043,7 @@ def _vjp_bwd(max_disp, interpret, note, res, g):
             fy[:, :, None, :], ((0, 0), (m, pad_b), (0, 0), (m, wpad - w - m)), constant_values=_FAR
         )
         dx_t = pl.pallas_call(
-            functools.partial(_dx_gather_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c),
+            functools.partial(_dx_gather_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c, dyn=dyn),
             grid=(b, h // rows_dx, w // tl),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -996,7 +1077,8 @@ def _vjp_bwd(max_disp, interpret, note, res, g):
         nc = npack * c
         slabs = pl.pallas_call(
             functools.partial(
-                _dx_scatter_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb_dx
+                _dx_scatter_kernel, rows=rows_dx, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb_dx,
+                dyn=dyn,
             ),
             grid=(b, nrb, nxt),
             in_specs=[
@@ -1030,81 +1112,14 @@ grid_sample_bicubic_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------------
 
 
-def _fwd_band_flops(h: int, w: int, c: int, m: int, itemsize: int) -> int:
-    """The general fwd kernel's matmul FLOPs (the _fwd_call noting formula)."""
-    rows, tl, s_dma, _ = _tiles(h, w, c, m, itemsize)
-    npack = _npack(c)
-    pb, _, _ = _pack_geom(h, rows, m, npack, _unroll(c))
-    return h * (w // tl) * pb * 2 * npack * c * s_dma * tl
-
-
-def _adaptive_pick(h: int, w: int, c: int, m: int, itemsize: int) -> Optional[int]:
-    """The LARGEST reduced bound m_h whose realized band FLOPs clear the
-    0.65 gate — maximal flow coverage for a win that still beats the cond's
-    scheduling cost; None if no m_h pays.
-
-    The realized FLOP ratio is coarser than (2m_h+1)/(2m+1): S is
-    DMA-rounded to 128 and the pack count rounds to npack·unroll — the
-    fixed m//2+1 rule landed 512²c64 on a bad boundary (m_h=15 → pb 12/16,
-    ratio 0.75, and in-step the cond's scheduling barriers — the predicate
-    reduce serializes branch selection, and ops inside cond branches don't
-    fuse with neighbors — measurably outweigh that thin win: G grad
-    230 → 257 ms at 512²/b4). Searching m_h directly finds the boundary
-    cases the fixed rule misses: 512²c64 → m_h=14 (pb 8/16, ratio 0.50).
-    Picks at the flagship geometries (ratio): 128²c256 → 5 (0.60),
-    256²c128 → 9 (0.56), 512²c64 → 14 (0.50), 1024²c32 → 28 (0.50).
-
-    The 0.65 gate is the measured break-even: micro-benched op-level wins
-    at the kept shapes are 1.37×/1.70×/1.55× (128²/256²/1024²).
-    """
-    if _use_small(h, w, c, m, itemsize):
-        return None  # small maps: band already tiny, cond never pays
-    full = _fwd_band_flops(h, w, c, m, itemsize)
-    for m_h in range(m - 1, 2, -1):
-        if _fwd_band_flops(h, w, c, m_h, itemsize) <= 0.65 * full:
-            return m_h
-    return None
-
-
 def grid_sample_bicubic_pallas_adaptive(
     x: jax.Array, grid: jax.Array, max_disp: int, interpret: bool = False
 ) -> jax.Array:
-    """Bicubic warp pricing the band by the ACTUAL flow, not the tanh bound.
-
-    ``max_disp`` prices every band sweep for the worst case — M = 16/29/54
-    at 256/512/1024² — but measured flows sit far below it: after training,
-    max|tanh(flow)| ≈ 0.44 on the top block (tools/flow_window_probe.py),
-    i.e. M̂ = 9 at 256². Per-warp FLOPs scale as (2M+1)·(TL+2M), so a
-    half-size band runs the sweep at ~0.4-0.5× the FLOPs.
-
-    Mechanism: a two-branch ``lax.cond`` between kernels compiled at a
-    reduced ``m_h`` (:func:`_adaptive_pick` — the largest bound whose
-    rounding-aware FLOPs clear the gate) and at the full ``m``, selected
-    ON DEVICE by the
-    measured displacement. Exactness is structural: the fast branch is
-    taken only when every cubic tap (|t| < 2 support around the sample
-    point) lies inside the reduced band, in which case the two branches
-    compute identical sums — out-of-reach band rows contribute exact zeros
-    in the full branch. Shapes stay static; autodiff differentiates each
-    branch's ``custom_vjp`` independently; only the fast branch reports to
-    the FLOP meter (it is the branch that executes at init and, per the
-    probe, in the trained steady state).
+    """Back-compat alias: the flow-adaptive band now lives INSIDE the
+    kernels (:func:`_dyn_window` — per-row tap-exact windows from the flow
+    itself), replacing round 3's two-branch ``lax.cond`` whose scheduling
+    barriers cost more than the halved band saved at 512² (G grad
+    230 → 257 ms). ``grid_sample_bicubic_pallas`` is adaptive by default;
+    this name remains for probes that A/B against ``dyn=False``.
     """
-    m = int(max_disp)
-    b, h, w, c = x.shape
-    m_h = _adaptive_pick(h, w, c, m, x.dtype.itemsize)
-    if m_h is None or m_h >= m:
-        return grid_sample_bicubic_pallas(x, grid, m, interpret)
-    fx, fy = _coords(grid, h, w)
-    dx_max = jnp.max(jnp.abs(fx - jax.lax.broadcasted_iota(jnp.float32, fx.shape, 2)))
-    dy_max = jnp.max(jnp.abs(fy - jax.lax.broadcasted_iota(jnp.float32, fy.shape, 1)))
-    # taps live at floor(f)−1..floor(f)+2 ⊆ [f−2, f+2]: all inside ±m_h
-    # of the output position iff |f − pos| ≤ m_h − 2
-    fits = jnp.maximum(dx_max, dy_max) <= float(m_h - 2)
-    return jax.lax.cond(
-        fits,
-        lambda xx, gg: grid_sample_bicubic_pallas(xx, gg, m_h, interpret),
-        lambda xx, gg: grid_sample_bicubic_pallas(xx, gg, m, interpret, note=False),
-        x,
-        grid,
-    )
+    return grid_sample_bicubic_pallas(x, grid, max_disp, interpret)

@@ -61,6 +61,40 @@ def test_modulated_conv_matches_grouped_reference(rng, up, k):
         assert y.shape == (b, 2 * h, 2 * h, out_f)
 
 
+@pytest.mark.parametrize("shape", [(2, 5, 7, 4, 6), (1, 8, 8, 3, 3)])
+def test_up2_phase_decomposition_equals_dilated(rng, shape):
+    """_up2_phases == the generic lhs-dilated transpose, values and grads.
+
+    The k=3 up path (custom_layers.py:74-80) runs as four phase convs on TPU;
+    this pins it to the dilated formulation it replaces (same taps, same sums
+    — equality is exact up to conv reassociation)."""
+    from lcgan_tpu.ops.modulated import _up2_phases
+
+    b, h, w_sp, in_f, out_f = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w_sp, in_f), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, in_f, out_f), dtype=np.float32))
+
+    def dilated(x, w):
+        w_t = jnp.flip(w, axis=(0, 1))
+        return jax.lax.conv_general_dilated(
+            x, w_t, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def phases(x, w):
+        return _up2_phases(x, jnp.flip(w, axis=(0, 1)))
+
+    np.testing.assert_allclose(
+        np.asarray(phases(x, w)), np.asarray(dilated(x, w)), rtol=1e-5, atol=1e-5
+    )
+    cot = jnp.asarray(rng.standard_normal((b, 2 * h, 2 * w_sp, out_f), dtype=np.float32))
+    loss = lambda f: lambda x, w: jnp.sum(f(x, w) * cot)
+    gx_d, gw_d = jax.grad(loss(dilated), argnums=(0, 1))(x, w)
+    gx_p, gw_p = jax.grad(loss(phases), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_d), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_d), rtol=1e-5, atol=1e-4)
+
+
 def test_modulated_conv_module_equalization(rng):
     """Module applies the equalized scale + lr_mul-scaled bias to the kernel."""
     b, in_f, out_f, h, k = 2, 4, 5, 6, 3

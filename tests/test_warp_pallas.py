@@ -64,70 +64,54 @@ def test_grads_match_banded(shape, mfs, rng):
     np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), atol=2e-2)
 
 
-@pytest.mark.parametrize("small_flow", [True, False])
-def test_adaptive_band_matches_oracle_both_branches(small_flow, rng):
-    """The flow-adaptive warp must be exact on BOTH cond branches: a small
-    flow routes to the half-band kernel, a near-bound flow falls back to
-    the full band — values AND both gradients match the banded form."""
-    from lcgan_tpu.ops.warp_pallas import (
-        _adaptive_pick,
-        grid_sample_bicubic_pallas_adaptive,
-    )
-
-    # c=128 (npack=2): the ratio gate engages the cond at this geometry;
-    # tiny channel counts fall back (npack granularity swallows the band cut)
-    b, h, w, c = 1, 16, 256, 128  # multi-x-tile geometry, m=9 -> m_h=5
-    mfs = 0.05
-    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+@pytest.mark.parametrize("scale", [0.0, 0.2, 1.0])
+@pytest.mark.parametrize(
+    "shape,mfs",
+    [
+        ((1, 16, 256, 128), 0.05),  # general, gather-dx
+        ((1, 16, 256, 16), 0.05),  # general, scatter-dx
+        ((2, 32, 64, 16), 0.05),  # small-map kernels
+        ((1, 16, 16, 32), 0.1),  # small-map kernels, single tile
+    ],
+)
+def test_dynamic_band_matches_static_and_oracle(shape, mfs, scale, rng):
+    """The in-kernel tap-exact band (_dyn_window) must match the static
+    full-band kernel to fp32 reassociation tolerance (window starts regroup
+    the partial-sum slots; skipped rows contribute exact zeros), from
+    identity grids (the smallest windows) through near-bound flows (windows
+    ≈ the full band), for values and both gradients; and both must match
+    the banded form. Covers both dx paths (c=128 gather, c=16 scatter) and
+    multi-x-tile geometry."""
+    b, h, w, c = shape
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     flow = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2)), jnp.float32)
-    scale = 0.2 if small_flow else 1.0  # 0.2: |disp| well under m_h - 2
     grid = identity_like_coordinates(b, h, w) + flow * mfs * scale
     m = max_warp_displacement(max(h, w), mfs)
-    m_h = _adaptive_pick(h, w, c, m, 4)
-    assert m_h is not None and m_h < m  # the cond engages at this geometry
-    cot = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
-    out = jax.jit(
-        lambda x_, g_: grid_sample_bicubic_pallas_adaptive(x_, g_, m, True)
-    )(x, grid)
+    def loss(dyn):
+        def f(x_, g_):
+            return jnp.sum(grid_sample_bicubic_pallas(x_, g_, m, True, True, dyn) * cot)
+        return f
+
+    out_d = grid_sample_bicubic_pallas(x, grid, m, True, True, True)
+    out_s = grid_sample_bicubic_pallas(x, grid, m, True, True, False)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s), atol=1e-5)
     ref = grid_sample_bicubic_banded(x, grid, m)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref), atol=1e-4)
 
-    def loss_a(x_, g_):
-        return jnp.sum(grid_sample_bicubic_pallas_adaptive(x_, g_, m, True) * cot)
-
-    def loss_r(x_, g_):
-        return jnp.sum(grid_sample_bicubic_banded(x_, g_, m) * cot)
-
-    dx_a, dg_a = jax.jit(jax.grad(loss_a, argnums=(0, 1)))(x, grid)
-    dx_r, dg_r = jax.grad(loss_r, argnums=(0, 1))(x, grid)
-    np.testing.assert_allclose(np.asarray(dx_a), np.asarray(dx_r), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(dg_a), np.asarray(dg_r), atol=2e-2)
-
-
-def test_adaptive_band_branch_selection(rng):
-    """The predicate routes by measured displacement: identity-ish grids take
-    the half-band branch (checked via the FLOP meter, which only the fast
-    branch reports to)."""
-    from lcgan_tpu.ops.warp_pallas import (
-        flop_meter,
-        grid_sample_bicubic_pallas_adaptive,
-    )
-
-    # c=128 (npack=2): the half band materializes as fewer packed matmuls;
-    # at tiny channel counts npack=8 granularity can swallow the reduction
-    b, h, w, c = 1, 16, 256, 128
-    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
-    grid = identity_like_coordinates(b, h, w)
-    m = max_warp_displacement(max(h, w), 0.05)
-    with flop_meter() as acc:
-        jax.jit(lambda x_, g_: grid_sample_bicubic_pallas_adaptive(x_, g_, m, True)).lower(
-            x, grid
-        )
-    assert acc[0] > 0  # fast branch noted
-    with flop_meter() as acc_full:
-        jax.jit(lambda x_, g_: grid_sample_bicubic_pallas(x_, g_, m, True)).lower(x, grid)
-    assert 0 < acc[0] < acc_full[0]  # ... and it is cheaper than the full band
+    dx_d, dg_d = jax.grad(loss(True), argnums=(0, 1))(x, grid)
+    dx_s, dg_s = jax.grad(loss(False), argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(np.asarray(dx_d), np.asarray(dx_s), rtol=1e-4, atol=1e-5)
+    # dgrid reduces g·acc over channels — cancellation amplifies the slot
+    # regrouping; rtol=1e-3 still pins dyn to static far inside the 2e-2
+    # banded-oracle tolerance below
+    np.testing.assert_allclose(np.asarray(dg_d), np.asarray(dg_s), rtol=1e-3, atol=2e-4)
+    dx_r, dg_r = jax.grad(
+        lambda x_, g_: jnp.sum(grid_sample_bicubic_banded(x_, g_, m) * cot), argnums=(0, 1)
+    )(x, grid)
+    np.testing.assert_allclose(np.asarray(dx_d), np.asarray(dx_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dg_d), np.asarray(dg_r), atol=2e-2)
 
 
 def test_bf16_smoke(rng):

@@ -36,7 +36,14 @@ def main():
     ap.add_argument("--min_res", type=int, default=128, help="warp_pallas_min_res")
     ap.add_argument("--adaptive", default=True, action=argparse.BooleanOptionalAction,
                     help="flow-adaptive warp band")
+    ap.add_argument("--phases", default=True, action=argparse.BooleanOptionalAction,
+                    help="phase-decomposed k=3 up-convs (off = lhs-dilated form)")
     args = ap.parse_args()
+
+    if not args.phases:
+        from lcgan_tpu.ops import modulated
+
+        modulated.UP2_PHASES = False
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
