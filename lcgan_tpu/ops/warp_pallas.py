@@ -256,7 +256,10 @@ def _fwd_kernel(
         fxr = fx_ref[0, pl.ds(r, 1), :]  # (1, TL)
         fyr = fy_ref[0, pl.ds(r, 1), :]
         ax_t = _k(fxr - scol).astype(cdt)  # (S, TL)
-        if dyn:  # tap-exact band from the row's own coords (see _dyn_window)
+        if dyn == 2:  # overhead probe: window math + traced bound, full work
+            _, tr = _dyn_window(fyr, y0, npack, unroll, slab.shape[0], pb)
+            p0, trips = r // npack, jnp.maximum(tr, pb // unroll)
+        elif dyn:  # tap-exact band from the row's own coords (see _dyn_window)
             p0, trips = _dyn_window(fyr, y0, npack, unroll, slab.shape[0], pb)
         else:
             p0, trips = r // npack, pb // unroll

@@ -48,7 +48,7 @@ def _dyn_kernel(n_ref, x_ref, w_ref, o_ref):
 
 def build(packs: int, dyn: bool):
     out_shape = jax.ShapeDtypeStruct((256, 256), jnp.float32)
-    x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    x_spec = pl.BlockSpec(memory_space=pl.ANY)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     if dyn:
         return pl.pallas_call(
