@@ -16,13 +16,12 @@ plus two cheap elementwise scalings that XLA fuses into the conv's prologue/
 epilogue. The demod norm reduces to a (B,I)x(I,O) matmul.
 
 The ``up=2`` path reproduces torch ``conv_transpose2d(stride=2,
-padding=(k-1)//2, output_padding=1)`` geometry (custom_layers.py:74-80).
-For the k=3 case the reference always uses, it runs as FOUR phase convs
-(see :func:`_up2_phases`): the lhs-dilated form makes the TPU conv emitter
-multiply zeros for 3/4 of its MACs, and its weight-gradient (a conv against
-the dilated input) is worse still — measured 1.7x faster fwd+grad at the
-32->64/c512 block (tools/upconv_probe.py). A generic ``lhs_dilation=2``
-fallback covers other kernel sizes.
+padding=(k-1)//2, output_padding=1)`` geometry (custom_layers.py:74-80) as
+a direct conv over an lhs-dilated input with a flipped kernel. An exact
+four-phase decomposition (:func:`_up2_phases`, 9 MACs/input pixel vs 36
+naive) is kept behind ``UP2_PHASES`` — faster in isolation at every block
+size but measurably slower composed into the rematerialized train step
+(see the switch's comment for the numbers).
 """
 
 from __future__ import annotations
@@ -37,9 +36,18 @@ from lcgan_tpu.ops.equalized import PRECISION, EqualizedLinear, _equalized_init,
 
 Dtype = Any
 
-# Trace-time A/B switch for the k=3 up-conv formulation (tools/upconv_probe.py
-# and step-breakdown probes flip it); production always runs the phase path.
-UP2_PHASES = True
+# Trace-time A/B switches for the k=3 up-conv formulation (tools/upconv_probe.py
+# and step-breakdown probes flip them). Isolated op timings favor the phase
+# decomposition at EVERY block size (1.2-1.7x, tools/upconv_probe.py), but
+# IN-STEP — under block remat and the dynamic-band warp — the dilated form
+# wins at every flagship resolution (G grad, dyn band: 256^2 110.8 dilated
+# vs 116.3 phases / 114.4 gated-at->=128; 512^2 163.8 vs 175.7-177.5;
+# 1024^2 312.0 vs 337.4-338.1): the phase path's stack/reshape interleaves
+# cost more in recompute+fusion context than the 4x MAC saving buys once
+# the warp no longer dominates. Default OFF; kept as a measured negative
+# with the probe so the conclusion is reproducible.
+UP2_PHASES = False
+UP2_PHASES_MIN_RES = 128
 
 
 def _up2_phases(xs: jax.Array, w_t: jax.Array) -> jax.Array:
@@ -113,7 +121,7 @@ def modulated_conv2d(
         # (custom_layers.py:74-80; output size = up*H exactly).
         assert up == 2, "reference only uses up in {1, 2}"
         w_t = jnp.flip(weight, axis=(0, 1)).astype(dtype)
-        if k == 3 and UP2_PHASES:
+        if k == 3 and UP2_PHASES and x.shape[1] >= UP2_PHASES_MIN_RES:
             y = _up2_phases(xs, w_t)
         else:
             # generic fallback: direct conv over an lhs-dilated input

@@ -106,12 +106,25 @@ def main():
 
         return jax.grad(loss)(p)
 
+    def flops_of(fn, *a):
+        try:
+            return float(jax.jit(fn).lower(*a).compile().cost_analysis().get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     print(f"res={args.res} b={b} warp_impl={cfg.warp_impl}", flush=True)
-    print(f"G fwd   : {timeit(g_fwd, g_vars, z1, z2):8.1f} ms", flush=True)
-    print(f"G grad  : {timeit(g_grad, g_vars, z1, z2, n=6):8.1f} ms", flush=True)
-    print(f"D fwd   : {timeit(d_fwd, state.d_params, img):8.1f} ms", flush=True)
-    print(f"D grad  : {timeit(d_grad, state.d_params, img, n=6):8.1f} ms", flush=True)
-    print(f"R1 grad : {timeit(r1_grad, state.d_params, img, n=6):8.1f} ms", flush=True)
+    rows = [
+        ("G fwd   ", g_fwd, (g_vars, z1, z2), 10),
+        ("G grad  ", g_grad, (g_vars, z1, z2), 6),
+        ("D fwd   ", d_fwd, (state.d_params, img), 10),
+        ("D grad  ", d_grad, (state.d_params, img), 6),
+        ("R1 grad ", r1_grad, (state.d_params, img), 6),
+    ]
+    for name, fn, a, n in rows:
+        ms = timeit(fn, *a, n=n)
+        gf = flops_of(fn, *a) / 1e9  # XLA-counted; Pallas kernels count as 0
+        tps = gf / ms if ms > 0 else 0.0  # achieved TFLOP/s (XLA portion)
+        print(f"{name}: {ms:8.1f} ms | {gf:8.1f} GF | {tps:5.2f} TF/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,10 +24,12 @@ from lcgan_tpu.ops.grid_sample import (
     identity_like_coordinates,
     max_warp_displacement,
 )
-from lcgan_tpu.ops.warp_pallas import (
-    grid_sample_bicubic_pallas,
-    grid_sample_bicubic_pallas_adaptive,
-)
+from lcgan_tpu.ops.warp_pallas import grid_sample_bicubic_pallas
+
+
+def _pallas_static(x, grid, m):
+    """Round-2 behavior: static full-band trip counts (dyn=False)."""
+    return grid_sample_bicubic_pallas(x, grid, m, False, True, False)
 
 SHAPES = [
     (8, 8, 512),
@@ -82,8 +84,8 @@ def main():
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--adaptive", action="store_true",
-                    help="also time the flow-adaptive wrapper (fast branch: "
-                    "small flow so the half band executes)")
+                    help="A/B the in-kernel dynamic band (dyn=True, default "
+                    "production path) vs static full-band trip counts")
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
@@ -95,16 +97,16 @@ def main():
           flush=True)
     if args.adaptive:
         shapes = [(8, 128, 256), (8, 256, 128), (8, 512, 64), (2, 1024, 32)]
-        print("  shape              | pallas fwd  fwd+bwd | adapt fwd  fwd+bwd | speedup")
+        print("  shape              | static fwd  fwd+bwd |   dyn fwd  fwd+bwd | speedup")
         for b, hw, c in shapes:
             m = max_warp_displacement(hw, 0.1)
             pf, pb = bench(
-                grid_sample_bicubic_pallas, b, hw, c, m, args.chain, args.reps, dtype,
-                flow_scale=0.02,
+                _pallas_static, b, hw, c, m, args.chain, args.reps, dtype,
+                flow_scale=0.03,  # trained-magnitude flow
             )
             af, ab = bench(
-                grid_sample_bicubic_pallas_adaptive, b, hw, c, m, args.chain, args.reps,
-                dtype, flow_scale=0.02,  # small flow -> half-band branch executes
+                grid_sample_bicubic_pallas, b, hw, c, m, args.chain, args.reps,
+                dtype, flow_scale=0.03,
             )
             print(
                 f"  {hw:4d}² c{c:3d} b{b} M={m:3d} | {pf:9.2f} {pb:8.2f} |"
