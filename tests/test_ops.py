@@ -63,6 +63,53 @@ def test_equalized_conv_matches_torch(rng, stride):
     np.testing.assert_allclose(np.asarray(y), nhwc(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("c,co,hw", [(32, 32, 16), (5, 16, 8), (32, 32, 4)])
+def test_conv3x3_packed_matches_dilated(rng, c, co, hw):
+    """Width-packed matmul form == the dilated conv, values and grads."""
+    from lcgan_tpu.ops.equalized import conv3x3_packed
+
+    p = 128 // co
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.1, jnp.float32)
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    got = conv3x3_packed(x, w, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, w)), rtol=2e-5, atol=1e-5)
+
+    def loss(f):
+        def inner(x, w):
+            y = f(x, w)
+            return jnp.sum(y * jnp.cos(y.astype(jnp.float32)).astype(y.dtype))
+        return inner
+
+    gx_r, gw_r = jax.grad(loss(ref), argnums=(0, 1))(x, w)
+    gx_p, gw_p = jax.grad(loss(lambda a, b: conv3x3_packed(a, b, p)), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=2e-4, atol=1e-4)
+
+
+def test_equalized_conv_packed_route_matches_torch(rng, monkeypatch):
+    """EqualizedConv2d with Co ≤ 32 routes through the packed path — still torch-exact."""
+    from lcgan_tpu.ops import equalized
+
+    monkeypatch.setattr(equalized, "PACKED_K3_MIN_RES", 8)  # force the route at test size
+    x = rng.standard_normal((2, 8, 8, 24), dtype=np.float32)
+    conv = EqualizedConv2d(features=32, kernel_size=3)
+    params = conv.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    y = conv.apply(params, jnp.asarray(x))
+    w = np.asarray(params["params"]["weight"])
+    b = np.asarray(params["params"]["bias"])
+    w_t = torch.from_numpy((w * equalized_scale(24 * 9)).transpose(3, 2, 0, 1).copy())
+    ref = F.conv2d(nchw(x), w_t, bias=torch.from_numpy(b), padding=1)
+    np.testing.assert_allclose(np.asarray(y), nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_box_filter_matches_torch_avgpool(rng):
     x = rng.standard_normal((2, 9, 9, 4), dtype=np.float32)
     y = box_filter_3x3(jnp.asarray(x))

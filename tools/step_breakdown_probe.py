@@ -38,12 +38,18 @@ def main():
                     help="flow-adaptive warp band")
     ap.add_argument("--phases", default=True, action=argparse.BooleanOptionalAction,
                     help="phase-decomposed k=3 up-convs (off = lhs-dilated form)")
+    ap.add_argument("--packconv", default=True, action=argparse.BooleanOptionalAction,
+                    help="width-packed k=3 conv at tiny channel counts")
     args = ap.parse_args()
 
     if not args.phases:
         from lcgan_tpu.ops import modulated
 
         modulated.UP2_PHASES = False
+    if not args.packconv:
+        from lcgan_tpu.ops import equalized
+
+        equalized.PACKED_K3 = False
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
