@@ -108,6 +108,13 @@ def modulated_conv2d(
 
     xs = x.astype(dtype) * styles.astype(dtype)[:, None, None, :]
     if up == 1:
+        # NOTE: the width-packed matmul form (ops/equalized.conv3x3_packed)
+        # was A/B'd here for the 1024² top-block c32 convs and LOSES in-step
+        # (G grad 312 → 338 ms, G fwd 76 → 87): inside the rematerialized
+        # synthesis blocks the pack's pad/reshape/concat lhs build schedules
+        # worse than the lane waste it removes — unlike D's trunk, where the
+        # same rewrite wins 1.81× (see ops/equalized.py). Measured negative;
+        # keep the plain conv.
         y = jax.lax.conv_general_dilated(
             xs,
             weight.astype(dtype),
