@@ -87,6 +87,15 @@ class Config:
     # iters, worker.py:137-214); without remat their activations exceed a
     # v5e's 16G HBM at 256² batch 32. Costs ~1/3 extra forward FLOPs.
     remat_blocks: bool = True
+    # With remat on, additionally save each G block's three modulated-conv
+    # OUTPUTS (named "g_conv_out" checkpoints) so the remat backward drops the
+    # conv forwards from the recompute — every residual downstream of a conv
+    # rebuilds with cheap elementwise work from the saved result (see
+    # models/generator.py). Costs ~2 block-sized tensors per block of HBM.
+    # Only blocks with output maps <= remat_save_max_res use the policy —
+    # on the 1024² top block it blows up XLA's compile memory.
+    remat_save_g_convs: bool = True
+    remat_save_max_res: int = 512
     profile_dir: str = ""  # if set, jax.profiler traces are written here
     # Bicubic-warp backend: "pallas" = fused TPU kernel (ops/warp_pallas.py),
     # "banded" = XLA scan form, "auto" = pallas on TPU backends, banded

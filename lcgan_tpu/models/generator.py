@@ -75,8 +75,15 @@ class SynthesisBlock(nn.Module):
         skip = skip * jnp.asarray(SQRT_HALF, skip.dtype)
         skip = box_filter_3x3(nearest_upsample_2x(skip))
 
+        # ckpt_name marks each modulated conv's RAW output (pre-demod, see
+        # ops/modulated.py) — identity unless the remat policy installed by
+        # Generator.remat_save_g_convs matches. With the three conv results
+        # saved, the remat backward drops the conv forwards entirely: every
+        # residual it needs (demod grad, lrelu masks, tanh, the warp VJP's
+        # input-only residuals) rebuilds with cheap elementwise work.
         flow = SynthesisLayer(
-            features=2, latent_dim=self.g_latent_dim, up=2, dtype=self.dtype, name="flow_layer"
+            features=2, latent_dim=self.g_latent_dim, up=2, dtype=self.dtype,
+            ckpt_name="g_conv_out", name="flow_layer"
         )(x, g_latent)
         flow = jnp.tanh(box_filter_3x3(flow).astype(jnp.float32))
 
@@ -86,6 +93,7 @@ class SynthesisBlock(nn.Module):
             up=2,
             use_noise=self.use_noise,
             dtype=self.dtype,
+            ckpt_name="g_conv_out",
             name="modulated_conv0",
         )(x, a0)
         y = leaky_relu(box_filter_3x3(y), 0.2, SQRT2)
@@ -95,6 +103,7 @@ class SynthesisBlock(nn.Module):
             up=1,
             use_noise=self.use_noise,
             dtype=self.dtype,
+            ckpt_name="g_conv_out",
             name="modulated_conv1",
         )(y, a1)
         y = leaky_relu(y, 0.2)
@@ -177,6 +186,17 @@ class Generator(nn.Module):
     w_avg_beta: float = 0.998
     use_noise: bool = False  # the reference disables it everywhere (cnn.py:83,87)
     remat: bool = False
+    # With remat on, additionally SAVE each block's three modulated-conv
+    # outputs (the "g_conv_out" named checkpoints) instead of recomputing the
+    # convs in the backward — trades ~2 block-sized tensors of memory per
+    # block for dropping the conv forwards from the recompute. Algebraically
+    # identical grads (fp reassociation only; tested). Applied only to blocks
+    # whose output map is <= remat_save_max_res: at 1024² the policy on the
+    # top block sends XLA's scheduler into a compile-memory blowup (the AOT
+    # compile helper gets OOM-killed), so the largest blocks keep the plain
+    # save-nothing remat.
+    remat_save_g_convs: bool = False
+    remat_save_max_res: int = 512
     warp_impl: str = "auto"
     warp_pallas_min_res: int = 128
     warp_adaptive_band: bool = True
@@ -250,9 +270,15 @@ class Generator(nn.Module):
         nb = self.num_blocks
         base_nf = self.resolved_base_nf
         a_pair = jnp.stack([appearance_code, appearance_code], axis=1)  # (B,2,a_dim)
-        block_cls = nn.remat(SynthesisBlock) if self.remat else SynthesisBlock
+        save_policy = jax.checkpoint_policies.save_only_these_names("g_conv_out")
         for i in range(nb):
             out_features = min(base_nf * 2 ** (nb - i - 1), self.max_nf)
+            out_res = 8 * 2**i  # block i upsamples 4·2^i → 8·2^i
+            if self.remat:
+                use_save = self.remat_save_g_convs and out_res <= self.remat_save_max_res
+                block_cls = nn.remat(SynthesisBlock, policy=save_policy if use_save else None)
+            else:
+                block_cls = SynthesisBlock
             x = block_cls(
                 features=out_features,
                 g_latent_dim=self.geo_latent_dim,

@@ -26,11 +26,12 @@ size but measurably slower composed into the rematerialized train step
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from lcgan_tpu.ops.equalized import PRECISION, EqualizedLinear, _equalized_init, equalized_scale
 
@@ -93,8 +94,17 @@ def modulated_conv2d(
     up: int = 1,
     eps: float = 1e-8,
     dtype: Dtype = jnp.float32,
+    ckpt_name: Optional[str] = None,
 ) -> jax.Array:
-    """Functional mod/demod conv. See module docstring for the rewrite."""
+    """Functional mod/demod conv. See module docstring for the rewrite.
+
+    ``ckpt_name`` attaches a ``checkpoint_name`` to the RAW conv output,
+    before the demod/bias epilogue (identity unless a matching
+    ``jax.checkpoint`` policy is installed). It must sit pre-demod: the
+    demod coefficient's own gradient needs the raw conv result as a
+    residual (d/d demod = Σ g·conv_raw), so naming a post-demod value
+    would pin the conv forward in the remat backward anyway.
+    """
     k = weight.shape[0]
     pad = (k - 1) // 2
 
@@ -142,6 +152,8 @@ def modulated_conv2d(
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=PRECISION,
             )
+    if ckpt_name is not None:
+        y = checkpoint_name(y, ckpt_name)
     # epilogue in the compute dtype: an fp32 demod multiply would materialize
     # an fp32 copy of the (dominant) activation tensor under bf16 training
     y = y * demod.astype(y.dtype)[:, None, None, :] + bias.astype(y.dtype)
@@ -157,6 +169,7 @@ class ModulatedConv2d(nn.Module):
     eps: float = 1e-8
     lr_mul: float = 1.0
     dtype: Dtype = jnp.float32
+    ckpt_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
@@ -173,6 +186,7 @@ class ModulatedConv2d(nn.Module):
             up=self.up,
             eps=self.eps,
             dtype=self.dtype,
+            ckpt_name=self.ckpt_name,
         )
 
 
@@ -194,6 +208,7 @@ class SynthesisLayer(nn.Module):
     lr_mul: float = 1.0
     use_noise: bool = False
     dtype: Dtype = jnp.float32
+    ckpt_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, latent: jax.Array) -> jax.Array:
@@ -207,6 +222,7 @@ class SynthesisLayer(nn.Module):
             up=self.up,
             lr_mul=1.0,
             dtype=self.dtype,
+            ckpt_name=self.ckpt_name,
             name="modulated_conv",
         )(x, s)
         if self.use_noise:

@@ -45,6 +45,8 @@ def build_models(cfg: Config):
         max_nf=cfg.max_nf,
         img_ch=cfg.img_ch,
         remat=cfg.remat_blocks,
+        remat_save_g_convs=cfg.remat_save_g_convs,
+        remat_save_max_res=cfg.remat_save_max_res,
         warp_impl=cfg.warp_impl,
         warp_pallas_min_res=cfg.warp_pallas_min_res,
         warp_adaptive_band=cfg.warp_adaptive_band,

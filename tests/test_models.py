@@ -138,3 +138,31 @@ def test_generator_bf16_compute_finite():
     out = g.apply(v, z, z, 1.0)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_remat_save_g_convs_grads_match():
+    """The save-warp-inputs remat policy changes only WHAT is saved vs
+    recomputed in the backward — grads must match the default save-nothing
+    remat to fp reassociation tolerance (models/generator.py "g_conv_out")."""
+    z1 = jax.random.normal(jax.random.PRNGKey(0), (2, 8))
+    z2 = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    grads = []
+    # (save, max_res): off / on everywhere / on for only the first block
+    # (16 < 32 exercises the mixed save/plain-remat path the 1024² recipe uses)
+    for save, max_res in ((False, 512), (True, 512), (True, 16)):
+        g = Generator(
+            img_resolution=32, geo_noise_dim=8, app_noise_dim=8,
+            geo_latent_dim=8, app_latent_dim=16, base_nf=16, max_nf=64,
+            remat=True, remat_save_g_convs=save, remat_save_max_res=max_res,
+        )
+        v = g.init(jax.random.PRNGKey(2), z1, z2, -1.0)
+
+        def loss(p):
+            out, _ = g.apply({"params": p, "stats": v["stats"]}, z1, z2, -1.0, mutable=["stats"])
+            return jnp.mean(jnp.square(out))
+
+        grads.append(jax.jit(jax.grad(loss))(v["params"]))
+    flat0 = jax.tree_util.tree_leaves(grads[0])
+    for other in grads[1:]:
+        for a, b in zip(flat0, jax.tree_util.tree_leaves(other)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

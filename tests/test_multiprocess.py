@@ -63,7 +63,9 @@ def test_two_process_dp_matches_single_process_oracle(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            # generous: under load (e.g. a concurrent TPU compile) the two
+            # CPU workers can take several× the uncontended ~6 min
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:

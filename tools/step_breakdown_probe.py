@@ -40,6 +40,8 @@ def main():
                     help="phase-decomposed k=3 up-convs (off = lhs-dilated form)")
     ap.add_argument("--packconv", default=True, action=argparse.BooleanOptionalAction,
                     help="width-packed k=3 conv at tiny channel counts")
+    ap.add_argument("--savewarp", default=False, action=argparse.BooleanOptionalAction,
+                    help="remat policy saves each G block's modulated-conv outputs")
     args = ap.parse_args()
 
     if not args.phases:
@@ -63,6 +65,7 @@ def main():
         batch_size=args.batch,
         compute_dtype="bfloat16",
         remat_blocks=True,
+        remat_save_g_convs=args.savewarp,
         warp_impl=args.warp_impl,
         warp_pallas_min_res=args.min_res,
         warp_adaptive_band=args.adaptive,
