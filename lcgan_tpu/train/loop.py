@@ -21,6 +21,7 @@ from lcgan_tpu.config import Config
 from lcgan_tpu.data.dataset import ImageFolderDataset, Prefetcher, TrainInputPipeline
 from lcgan_tpu.gen.artifacts import demo_generation, fake_image_generation, monitor_current_result
 from lcgan_tpu.parallel import make_mesh
+from lcgan_tpu.parallel.mesh import process_barrier
 from lcgan_tpu.train.steps import Trainer
 from lcgan_tpu.utils.checkpoint import CheckpointManager, read_epoch_file, write_epoch_file
 
@@ -102,11 +103,16 @@ def train(cfg: Config):
                         f"epoch:{epoch}, elapsed:{elapsed}, g_loss:{g:.6f}, d_loss:{d:.6f} \n"
                     )
 
-        if epoch % cfg.show_interval == 0 and epoch > 0 and _is_main():
-            monitor_current_result(
-                cfg, trainer, state, epoch=epoch, num_explore=20, w_psi=cfg.w_psi,
-                images_per_output=cfg.geo_noise_dim,
-            )
+        if epoch % cfg.show_interval == 0 and epoch > 0:
+            if _is_main():
+                monitor_current_result(
+                    cfg, trainer, state, epoch=epoch, num_explore=20, w_psi=cfg.w_psi,
+                    images_per_output=cfg.geo_noise_dim,
+                )
+            # dist.barrier fence (loader.py:73): without it, non-zero
+            # processes race into the next iteration's collective while
+            # process 0 renders, and the transport rendezvous can time out.
+            process_barrier(f"monitor_{epoch}")
 
         if epoch % cfg.save_interval == 0 and epoch > 0:
             jax.block_until_ready(state)
@@ -114,6 +120,7 @@ def train(cfg: Config):
                 print("save model")
                 ckpt.save(state)
                 write_epoch_file(cfg.model_name, epoch)
+            process_barrier(f"save_{epoch}")  # loader.py:80
 
         epoch += 1
 

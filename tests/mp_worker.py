@@ -118,7 +118,12 @@ def main() -> None:
             cfg, trainer, state, epoch=5, num_explore=1, images_per_output=8, num_clips=1
         )
 
-    # ---- sharded FID: collective — every process participates ----
+    # ---- sharded FID: collective — every process participates. The fence
+    # keeps pid 1 from entering FID's first collective while pid 0 renders
+    # artifacts above (gloo's context key-exchange times out at 30s). ----
+    from lcgan_tpu.parallel.mesh import process_barrier
+
+    process_barrier("pre_fid")
     from lcgan_tpu.eval.fid import fid_evaluate
 
     fid = fid_evaluate(cfg, trainer, state, num_images=8)
