@@ -96,6 +96,14 @@ class Config:
     # on the 1024² top block it blows up XLA's compile memory.
     remat_save_g_convs: bool = True
     remat_save_max_res: int = 512
+    # Same policy for the D trunk ("d_conv_out" on each block's two convs,
+    # models/discriminator.py). D appears under grad up to 7× per even
+    # iteration (3 in the G step + 4 in the D step, worker.py:137-214), so
+    # skipping the conv recompute is multiplied; gated per block to input
+    # maps <= remat_save_max_res like the G policy. Default OFF until the
+    # in-step A/B on real hardware proves it (the up-conv phase rewrite won
+    # isolated and lost composed — tools/step_breakdown_probe --savedconv).
+    remat_save_d_convs: bool = False
     profile_dir: str = ""  # if set, jax.profiler traces are written here
     # Bicubic-warp backend: "pallas" = fused TPU kernel (ops/warp_pallas.py),
     # "banded" = XLA scan form, "auto" = pallas on TPU backends, banded

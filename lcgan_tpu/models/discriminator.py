@@ -35,23 +35,41 @@ SQRT_HALF = math.sqrt(0.5)
 
 
 class DiscriminatorBlock(nn.Module):
-    """Residual downsampling block (custom_layers.py:185-217), skip=True form."""
+    """Residual downsampling block (custom_layers.py:185-217), skip=True form.
+
+    ``save_convs``: name the two trunk conv outputs as "d_conv_out"
+    checkpoints. Under the remat policy installed by
+    ``Discriminator.remat_save_d_convs`` the block backward then rebuilds
+    everything it needs (lrelu masks, the box filter, the skip pool) from
+    the SAVED conv results with elementwise/shift work only — the conv
+    forwards drop out of the recompute, exactly the G-side savewarp trick
+    (models/generator.py). The skip 1×1 stays unnamed: nothing in the
+    backward needs its value (the residual add is linear and its dw reads
+    pool(x), recomputed from the block input), so its recompute is DCE'd.
+    """
 
     features: int
     dtype: Dtype = jnp.float32
+    save_convs: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        ckpt = "d_conv_out" if self.save_convs else None
         skip = avg_pool_2x2(x)
         skip = EqualizedConv2d(
             features=self.features, kernel_size=1, no_bias=True, dtype=self.dtype, name="skip_layer"
         )(skip)
         skip = skip * jnp.asarray(SQRT_HALF, skip.dtype)
 
-        y = EqualizedConv2d(features=x.shape[-1], kernel_size=3, dtype=self.dtype, name="conv0")(x)
+        y = EqualizedConv2d(
+            features=x.shape[-1], kernel_size=3, dtype=self.dtype, ckpt_name=ckpt, name="conv0"
+        )(x)
         y = leaky_relu(y, 0.2, SQRT2)
         y = box_filter_3x3(y)
-        y = EqualizedConv2d(features=self.features, kernel_size=3, stride=2, dtype=self.dtype, name="conv1")(y)
+        y = EqualizedConv2d(
+            features=self.features, kernel_size=3, stride=2, dtype=self.dtype, ckpt_name=ckpt,
+            name="conv1",
+        )(y)
         y = leaky_relu(y, 0.2)
         return skip + y
 
@@ -86,6 +104,13 @@ class Discriminator(nn.Module):
     max_nf: int = 512
     mbstd_group_size: int = 8
     remat: bool = False
+    # With remat on, additionally SAVE each block's two trunk conv outputs
+    # ("d_conv_out" checkpoints) so the remat backward skips the conv
+    # recompute — see DiscriminatorBlock.save_convs. Gated per block to
+    # input maps <= remat_save_max_res (same compile/memory guard as the
+    # G-side policy, models/generator.py).
+    remat_save_d_convs: bool = False
+    remat_save_max_res: int = 512
     dtype: Dtype = jnp.float32
 
     @property
@@ -111,10 +136,22 @@ class Discriminator(nn.Module):
         )
         x = leaky_relu(x, 0.2)
         out_features = base_nf
-        block_cls = nn.remat(DiscriminatorBlock) if self.remat else DiscriminatorBlock
+        save_policy = jax.checkpoint_policies.save_only_these_names("d_conv_out")
         for i in range(self.num_blocks):
             out_features = min(base_nf * 2 ** (i + 1), self.max_nf)
-            x = block_cls(features=out_features, dtype=self.dtype, name=f"block_{i}")(x)
+            in_res = self.img_resolution // (2**i)
+            use_save = (
+                self.remat and self.remat_save_d_convs and in_res <= self.remat_save_max_res
+            )
+            if self.remat:
+                block_cls = nn.remat(
+                    DiscriminatorBlock, policy=save_policy if use_save else None
+                )
+            else:
+                block_cls = DiscriminatorBlock
+            x = block_cls(
+                features=out_features, dtype=self.dtype, save_convs=use_save, name=f"block_{i}"
+            )(x)
 
         h = x  # (B, 4, 4, out_features)
         feat = DiscriminatorEpilogue(

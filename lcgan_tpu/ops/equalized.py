@@ -18,6 +18,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -139,6 +140,10 @@ class EqualizedConv2d(nn.Module):
     no_bias: bool = False
     lr_mul: float = 1.0
     dtype: Dtype = jnp.float32
+    # Optional jax.ad_checkpoint.checkpoint_name on the layer output —
+    # identity unless an enclosing remat installs a save_only_these_names
+    # policy matching it (see models/discriminator.py remat_save_d_convs).
+    ckpt_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -169,4 +174,7 @@ class EqualizedConv2d(nn.Module):
         if not self.no_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b * self.lr_mul
-        return y.astype(self.dtype)
+        y = y.astype(self.dtype)
+        if self.ckpt_name is not None:
+            y = checkpoint_name(y, self.ckpt_name)
+        return y

@@ -60,6 +60,8 @@ def build_models(cfg: Config):
         max_nf=cfg.max_nf,
         mbstd_group_size=cfg.mbstd_group_size,
         remat=cfg.remat_blocks,
+        remat_save_d_convs=cfg.remat_save_d_convs,
+        remat_save_max_res=cfg.remat_save_max_res,
         dtype=cfg.dtype,
     )
     return generator, discriminator

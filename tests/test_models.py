@@ -166,3 +166,29 @@ def test_remat_save_g_convs_grads_match():
     for other in grads[1:]:
         for a, b in zip(flat0, jax.tree_util.tree_leaves(other)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_remat_save_d_convs_grads_match():
+    """D-trunk analogue of the savewarp policy (models/discriminator.py
+    "d_conv_out"): saving the block convs' outputs changes only what the
+    remat backward recomputes — param AND input grads must match the
+    save-nothing remat to fp reassociation tolerance."""
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    grads = []
+    # off / on everywhere / on below the top block only (mixed path)
+    for save, max_res in ((False, 512), (True, 512), (True, 16)):
+        d = Discriminator(
+            img_resolution=32, base_nf=16, max_nf=64, mbstd_group_size=2,
+            remat=True, remat_save_d_convs=save, remat_save_max_res=max_res,
+        )
+        v = d.init(jax.random.PRNGKey(1), img, True, 1)
+
+        def loss(p, x):
+            logit, ge, ae = d.apply({"params": p}, x, True, 1)
+            return jnp.mean(jnp.square(logit)) + jnp.mean(ge * ae)
+
+        grads.append(jax.jit(jax.grad(loss, argnums=(0, 1)))(v["params"], img))
+    flat0 = jax.tree_util.tree_leaves(grads[0])
+    for other in grads[1:]:
+        for a, b in zip(flat0, jax.tree_util.tree_leaves(other)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -108,9 +108,11 @@ def main():
 
     rng = np.random.default_rng(0)
     for b, r, ci, co in SHAPES:
-        p = max(1, 128 // co)
-        if p < 2:
-            print(f"  {r:4d}² c{ci}->{co} b{b}: p=1, nothing to pack — skipped", flush=True)
+      # p need not stop at 128//Co: N = p·Co > 128 is just more lane tiles.
+      # Inflation (p+2)/3 grows with p, so larger p only pays if XLA tiles
+      # the bigger-N matmul disproportionately better. Sweep to find out.
+      for p in (2, 4, 8):
+        if co * p > 512 or r % p != 0 or 128 // co > p:
             continue
         x = jnp.asarray(rng.standard_normal((b, r, r, ci)), jnp.bfloat16)
         w = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.bfloat16)

@@ -42,6 +42,8 @@ def main():
                     help="width-packed k=3 conv at tiny channel counts")
     ap.add_argument("--savewarp", default=False, action=argparse.BooleanOptionalAction,
                     help="remat policy saves each G block's modulated-conv outputs")
+    ap.add_argument("--savedconv", default=False, action=argparse.BooleanOptionalAction,
+                    help="remat policy saves each D block's trunk conv outputs")
     args = ap.parse_args()
 
     if not args.phases:
@@ -66,6 +68,7 @@ def main():
         compute_dtype="bfloat16",
         remat_blocks=True,
         remat_save_g_convs=args.savewarp,
+        remat_save_d_convs=args.savedconv,
         warp_impl=args.warp_impl,
         warp_pallas_min_res=args.min_res,
         warp_adaptive_band=args.adaptive,
