@@ -44,6 +44,8 @@ def main():
                     help="remat policy saves each G block's modulated-conv outputs")
     ap.add_argument("--savedconv", default=False, action=argparse.BooleanOptionalAction,
                     help="remat policy saves each D block's trunk conv outputs")
+    ap.add_argument("--save_max_res", type=int, default=512,
+                    help="remat_save_max_res gate for the save policies")
     args = ap.parse_args()
 
     if not args.phases:
@@ -69,6 +71,7 @@ def main():
         remat_blocks=True,
         remat_save_g_convs=args.savewarp,
         remat_save_d_convs=args.savedconv,
+        remat_save_max_res=args.save_max_res,
         warp_impl=args.warp_impl,
         warp_pallas_min_res=args.min_res,
         warp_adaptive_band=args.adaptive,
