@@ -113,9 +113,14 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
             xla = float(lowered.compile().cost_analysis().get("flops", 0.0))
             flops[name] = (xla + acc[0], xla + acc[1])
         avg = lambda i: (4 * flops["even"][i] + 3 * flops["odd"][i] + flops["r1"][i]) / 8.0
-        per_chip_per_sec = iters / dt / n_chips
-        mfu = round(avg(0) * per_chip_per_sec / PEAK_FLOPS_PER_CHIP, 4)
-        mfu_useful = round(avg(1) * per_chip_per_sec / PEAK_FLOPS_PER_CHIP, 4)
+        # cost_analysis reports the PER-DEVICE partitioned module's FLOPs
+        # (and the warp meter fires on per-device local shapes under
+        # shard_map), so avg() is already per-chip work per step — every
+        # chip executes every step, so the rate is steps/sec, NOT divided
+        # by n_chips a second time.
+        steps_per_sec = iters / dt
+        mfu = round(avg(0) * steps_per_sec / PEAK_FLOPS_PER_CHIP, 4)
+        mfu_useful = round(avg(1) * steps_per_sec / PEAK_FLOPS_PER_CHIP, 4)
     except Exception:  # pragma: no cover - cost_analysis backend support
         pass
     return {"ips": round(ips, 2), "mfu": mfu, "mfu_useful": mfu_useful}

@@ -69,11 +69,12 @@ def _fold_basic_conv(sd, prefix: str) -> dict:
     }
 
 
-def convert_torch_inception(pth_path: str) -> dict:
+def convert_torch_inception(pth_path: str, verify: bool = True) -> dict:
     """Load the pytorch-fid checkpoint and emit Flax params."""
     import torch
 
-    verify_checkpoint(pth_path)
+    if verify:
+        verify_checkpoint(pth_path)
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     params: dict = {}
     # group state-dict keys by BasicConv2d prefix (everything before .conv/.bn)
@@ -134,7 +135,8 @@ def main(argv=None):
     ap.add_argument("--strict", action="store_true", help="fail on fingerprint mismatch")
     args = ap.parse_args(argv)
     verify_checkpoint(args.pth, strict=args.strict)
-    save_params_npz(convert_torch_inception(args.pth), args.npz)
+    # verify=False: the ~100MB file was just hashed above (incl. --strict)
+    save_params_npz(convert_torch_inception(args.pth, verify=False), args.npz)
     print(f"wrote {args.npz}")
 
 

@@ -88,8 +88,6 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
 
     # weights passed as an ARGUMENT, not a closure: baked-in ~95MB constants
     # hit remote-compile body limits on tunneled backends
-    feat_fn = jax.jit(lambda v, imgs: inception.apply(v, imgs))
-
     mesh = trainer.mesh
     if mesh is not None:
         # feature extraction sharded over the data axis (r2 weak #4: one chip
@@ -115,6 +113,7 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
             return _local_shard_data(feat_sharded(inc_vars, garr))[:b]
 
     else:
+        feat_fn = jax.jit(lambda v, imgs: inception.apply(v, imgs))
 
         def features(imgs_np):
             return np.asarray(feat_fn(inc_vars, jnp.asarray(imgs_np)))

@@ -37,10 +37,7 @@ from lcgan_tpu.ops.grid_sample import (
     identity_like_coordinates,
     max_warp_displacement,
 )
-from lcgan_tpu.ops.warp_pallas import (
-    grid_sample_bicubic_pallas,
-    grid_sample_bicubic_pallas_adaptive,
-)
+from lcgan_tpu.ops.warp_pallas import grid_sample_bicubic_pallas
 from lcgan_tpu.ops.mapping import MappingNetwork
 from lcgan_tpu.ops.modulated import SynthesisLayer
 

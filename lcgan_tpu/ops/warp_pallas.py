@@ -960,8 +960,10 @@ def grid_sample_bicubic_pallas(
     ``max_disp`` must bound |sample − output| in pixels plus cubic support
     (use :func:`lcgan_tpu.ops.grid_sample.max_warp_displacement`). H and W
     must be divisible by the row/col tiles (powers of two always are).
-    ``note=False`` suppresses the FLOP meter (used by the adaptive wrapper
-    for the fallback branch so only executed work is counted).
+    ``note=False`` suppresses the FLOP meter — for probe/A-B callers that
+    time the kernel outside a measured step and must not pollute bench.py's
+    MFU accounting. (The former two-branch adaptive wrapper also used it;
+    that wrapper is retired — the band window is now dynamic IN-kernel.)
     """
     return _fwd_call(x, grid, int(max_disp), interpret, note, dyn)
 

@@ -118,7 +118,11 @@ def train(cfg: Config):
             jax.block_until_ready(state)
             if _is_main():
                 print("save model")
-                ckpt.save(state)
+            # Orbax save of mesh-global arrays is a COLLECTIVE — every
+            # process participates (process 0 alone would deadlock in
+            # orbax's internal sync). Only the sidecar write is rank-0.
+            ckpt.save(state)
+            if _is_main():
                 write_epoch_file(cfg.model_name, epoch)
             process_barrier(f"save_{epoch}")  # loader.py:80
 
@@ -148,19 +152,25 @@ def run_phase(cfg: Config):
             # fixes the reference's os.path.join(..., 'fid.txt', 'w') bug (loader.py:91)
             with open(os.path.join(cfg.model_name, "fid.txt"), "w") as f:
                 f.write(f"FID:{fid_value} \n")
-            # best-FID checkpoint: the reference defines save_best_model /
-            # best_fid but never invokes them (worker.py:229,42; SURVEY §5) —
-            # here a new best FID snapshots the state for --best loading.
-            best_path = os.path.join(cfg.model_name, "best_fid.txt")
-            best = float("inf")
-            if os.path.exists(best_path):
-                with open(best_path) as f:
-                    best = float(f.read().strip())
-            if fid_value < best:
+        # best-FID checkpoint: the reference defines save_best_model /
+        # best_fid but never invokes them (worker.py:229,42; SURVEY §5) —
+        # here a new best FID snapshots the state for --best loading.
+        # fid_value is identical on every process (sharded features are
+        # globally gathered) and the run dir is shared, so each process
+        # reaches the same decision; the save itself is collective.
+        best_path = os.path.join(cfg.model_name, "best_fid.txt")
+        best = float("inf")
+        if os.path.exists(best_path):
+            with open(best_path) as f:
+                best = float(f.read().strip())
+        if fid_value < best:
+            if _is_main():
                 print("save best model")
-                ckpt.save(state, best=True)
+            ckpt.save(state, best=True)
+            if _is_main():
                 with open(best_path, "w") as f:
                     f.write(str(fid_value))
+        process_barrier("fid_save")
         return fid_value
 
     if cfg.phase == "fake_image_generation":

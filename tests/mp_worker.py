@@ -128,6 +128,20 @@ def main() -> None:
 
     fid = fid_evaluate(cfg, trainer, state, num_images=8)
 
+    # ---- collective checkpoint save + restore: orbax save of mesh-global
+    # arrays must be called by EVERY process (a rank-0-only call deadlocks
+    # in orbax's internal cross-process sync — the bug loop.py used to have)
+    from lcgan_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(outdir, "run", "model"))
+    ckpt.save(state)
+    restored = ckpt.restore(state)
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(
+            np.asarray(_host_local(a)), np.asarray(_host_local(b))
+        )
+    process_barrier("post_ckpt")
+
     host_state = _host_local(
         {"g": state.g_params, "d": state.d_params, "ema": state.ema_params}
     )

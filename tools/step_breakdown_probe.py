@@ -36,8 +36,9 @@ def main():
     ap.add_argument("--min_res", type=int, default=128, help="warp_pallas_min_res")
     ap.add_argument("--adaptive", default=True, action=argparse.BooleanOptionalAction,
                     help="flow-adaptive warp band")
-    ap.add_argument("--phases", default=True, action=argparse.BooleanOptionalAction,
-                    help="phase-decomposed k=3 up-convs (off = lhs-dilated form)")
+    ap.add_argument("--phases", default=False, action=argparse.BooleanOptionalAction,
+                    help="phase-decomposed k=3 up-convs (production default off; "
+                         "off = lhs-dilated form)")
     ap.add_argument("--packconv", default=True, action=argparse.BooleanOptionalAction,
                     help="width-packed k=3 conv at tiny channel counts")
     ap.add_argument("--savewarp", default=False, action=argparse.BooleanOptionalAction,
@@ -48,14 +49,13 @@ def main():
                     help="remat_save_max_res gate for the save policies")
     args = ap.parse_args()
 
-    if not args.phases:
-        from lcgan_tpu.ops import modulated
+    # assign BOTH ways: the module defaults have flipped before (UP2_PHASES
+    # is now default-off), and a disable-only pattern silently turns the
+    # "on" A/B arm into a copy of the "off" arm
+    from lcgan_tpu.ops import equalized, modulated
 
-        modulated.UP2_PHASES = False
-    if not args.packconv:
-        from lcgan_tpu.ops import equalized
-
-        equalized.PACKED_K3 = False
+    modulated.UP2_PHASES = args.phases
+    equalized.PACKED_K3 = args.packconv
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
