@@ -135,14 +135,14 @@ def _npack(c: int) -> int:
 def _overshoot(m: int, nway: int = _NWAY) -> int:
     """Rows the gather-dx padded band loop reads past 2m+1 (zero-weight)."""
     band = 2 * m + 1
-    return (band + nway - 1) // nway * nway - band
+    return _round_up(band, nway) - band
 
 
 def _pack_geom(h: int, rows: int, m: int, npack: int, unroll: int = 2):
     """(packs_per_band, slab_packs, padded_height) for the packed layout."""
     band = 2 * m + 1
     pb = (band + 2 * npack - 2) // npack  # pack-aligned cover of any band
-    pb = (pb + unroll - 1) // unroll * unroll  # the band loop unrolls this many packs/body
+    pb = _round_up(pb, unroll)  # the band loop unrolls this many packs/body
     p_slab = (rows - 1) // npack + pb
     hp = (h // rows - 1) * rows + p_slab * npack  # ≥ h + 2m, npack-aligned
     return pb, p_slab, hp
@@ -322,7 +322,7 @@ def _small_geom(h: int, w: int, c: int, m: int):
     unroll = _unroll(c)
     s_dma = _round_up(w + 2 * m, 128)
     pb = (nr + 2 * m + 2 * npack - 2) // npack  # pack-aligned cover of any tile's band
-    pb = (pb + unroll - 1) // unroll * unroll
+    pb = _round_up(pb, unroll)
     hp = ((h - nr) // npack + pb) * npack  # >= h + 2m, npack-aligned
     return nr, lanes, t_tiles, s_dma, pb, hp
 
@@ -346,7 +346,8 @@ def _small_groups(h: int, w: int, c: int, m: int):
 
 def _use_small(h: int, w: int, c: int, m: int, itemsize: int) -> bool:
     del itemsize
-    if w > 64 or 128 % w or h % min(max(128 // w, 1), h):
+    nr = _small_geom(h, w, c, m)[0]  # the kernels' own row-pack rule
+    if w > 64 or 128 % w or h % nr:
         return False
     return _small_groups(h, w, c, m) is not None
 
@@ -846,7 +847,8 @@ def _dx_scatter_kernel(
 
 def _pick_rows_dx(h: int, w: int, c: int, m: int, itemsize: int) -> int:
     """Row block for the scatter dx kernel: the fp32 accumulator slab must
-    fit ~12MB of VMEM (the output is DMA'd straight from it)."""
+    fit a 9MB VMEM budget (the output is DMA'd straight from it; the rest
+    of the ~16MB VMEM goes to the cotangent slab and weight tiles)."""
     del itemsize
     npack = _npack(c)
     tl = min(w, 128)
@@ -904,30 +906,42 @@ def _coords(grid: jax.Array, h: int, w: int):
     return fx, fy
 
 
-def _packed_input(x_t: jax.Array, h: int, w: int, m: int, rows: int, wpad: int, npack: int):
+def _packed_input(x_t: jax.Array, h: int, w: int, m: int, wpad: int, npack: int, hp: int):
     """Pad (B, H, C, W) and reshape rows into packs: (B, Hp/npack, npack·C, Wp).
 
     The reshape is free in HBM (row-major compatible); it exists because
     Mosaic cannot reshape a dynamically sliced value inside the kernel.
+    ``hp`` is the caller's _pack_geom padded height — passed in rather than
+    re-derived so the pad geometry cannot desynchronize from the caller's
+    loop geometry.
     """
     bdim, _, c, _ = x_t.shape
-    _, p_slab, hp = _pack_geom(h, rows, m, npack, _unroll(x_t.shape[2]))
     xp = jnp.pad(x_t, ((0, 0), (m, hp - h - m), (0, 0), (m, wpad - w - m)))
-    return xp.reshape(bdim, hp // npack, npack * c, wpad), p_slab
+    return xp.reshape(bdim, hp // npack, npack * c, wpad)
 
 
 def _fwd_call(x, grid, m: int, interpret: bool, note: bool = True, dyn: bool = True):
     b, h, w, c = x.shape
     if _use_small(h, w, c, m, x.dtype.itemsize):
+        if dyn == 2:
+            raise ValueError(
+                "dyn=2 (window-math-only probe mode) is implemented on the "
+                "general kernel only; small/grouped maps would silently run "
+                "the full dynamic mode and corrupt the probe's attribution"
+            )
         return _fwd_small_call(x, grid, m, interpret, note, dyn)
     fx, fy = _coords(grid, h, w)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, x.dtype.itemsize)
     npack = _npack(c)
     assert rows % npack == 0, (rows, npack)  # pack-aligned slab DMA starts
-    pb, p_slab, _ = _pack_geom(h, rows, m, npack, _unroll(c))
+    if w % tl:
+        # the pallas grid visits w // tl column tiles; a remainder would
+        # SILENTLY leave the trailing output columns uninitialized
+        raise ValueError(f"W={w} must be a multiple of the column tile ({tl})")
+    pb, p_slab, hp = _pack_geom(h, rows, m, npack, _unroll(c))
     if note:
         _note_flops(b * h * (w // tl) * pb * 2 * npack * c * s_dma * tl, 32 * b * h * w * c)
-    xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
+    xp = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, wpad, npack, hp)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, rows=rows, tl=tl, s_dma=s_dma, m=m, c=c, pb=pb, dyn=dyn),
@@ -990,8 +1004,8 @@ def _vjp_bwd(max_disp, interpret, note, dyn, res, g):
     g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(x_dtype)  # (B, H, C, W)
     rows, tl, s_dma, wpad = _tiles(h, w, c, m, itemsize)
     npack = _npack(c)
-    pb, p_slab, _ = _pack_geom(h, rows, m, npack, _unroll(c))
-    xp, _ = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, rows, wpad, npack)
+    pb, p_slab, hp = _pack_geom(h, rows, m, npack, _unroll(c))
+    xp = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, wpad, npack, hp)
     if note:
         _note_flops(
             b * h * (w // tl) * pb * 2 * npack * c * s_dma * 2 * tl, 64 * b * h * w * c

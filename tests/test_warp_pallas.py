@@ -130,3 +130,26 @@ def test_bf16_smoke(rng):
 
     dx, dg = jax.grad(loss, argnums=(0, 1))(x.astype(jnp.bfloat16), grid)
     assert dx.dtype == jnp.bfloat16 and bool(jnp.all(jnp.isfinite(dg)))
+
+
+def test_non_tile_divisible_width_raises():
+    """W not divisible by the 128 column tile must fail LOUDLY: the pallas
+    grid visits w // tl tiles, so a remainder would silently return
+    uninitialized trailing columns (found by review; reproduced as NaNs at
+    W=192 before the guard)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 192, 8)), jnp.float32)
+    grid = identity_like_coordinates(1, 8, 192)
+    with pytest.raises(ValueError, match="column tile"):
+        grid_sample_bicubic_pallas(x, grid, 4, interpret=True)
+
+
+def test_small_map_dyn_probe_mode_raises():
+    """dyn=2 (window-math-only probe mode) exists only on the general
+    kernel; the small-map path must reject it rather than silently running
+    full dynamic mode."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    grid = identity_like_coordinates(1, 16, 16)
+    with pytest.raises(ValueError, match="dyn=2"):
+        grid_sample_bicubic_pallas(x, grid, 3, interpret=True, dyn=2)
