@@ -75,13 +75,20 @@ class ImageFolderDataset:
             img = img.resize((self.resized_size, self.resized_size), Image.LANCZOS)
         return np.asarray(img, np.uint8)
 
-    def get_train(self, index: int, rng: np.random.Generator):
-        """(image, geometry_change, appearance_change), each float32 [-1,1]."""
+    def get_train_uint8(self, index: int, rng: np.random.Generator):
+        """(image, geometry_change, appearance_change), each uint8 — the
+        pre-normalization triple (also the native loader's output form, so
+        its per-sample fallback slots in directly)."""
         img = self._load_resized(index)
         if rng.random() < 0.5:  # shared random h-flip (custom_dataset.py:68)
             img = img[:, ::-1].copy()
         geo = augment.random_geometry_transform(img, rng)
         app = augment.random_appearance_transform(img, rng)
+        return img, geo, app
+
+    def get_train(self, index: int, rng: np.random.Generator):
+        """(image, geometry_change, appearance_change), each float32 [-1,1]."""
+        img, geo, app = self.get_train_uint8(index, rng)
         return (
             augment.to_model_range(img),
             augment.to_model_range(geo),
@@ -138,19 +145,28 @@ class TrainInputPipeline:
 
             paths = [self.dataset.files[int(i)] for i in idxs]
             seeds = [hash((self.seed, epoch, int(i))) for i in idxs]
-            img, geo, app, failures = load_batch(
+            img, geo, app, failed = load_batch(
                 paths, self.dataset.resized_size, seeds,
                 num_threads=self.pool._max_workers,
             )
-            if failures == 0:
-                return {
-                    "image": to_model_range(img),
-                    "geometry_change": to_model_range(geo),
-                    "appearance_change": to_model_range(app),
-                }
-            # unreadable file: fall through to the Python path (PIL handles
-            # more formats) for this and subsequent batches
-            self.use_native = False
+            if failed.any():
+                # per-sample fallback: the C++ path decodes JPEG/PNG only —
+                # one .bmp/.webp (or a transient IO error) must not abandon
+                # the native path for the whole rest of training
+                if not getattr(self, "_warned_native_fallback", False):
+                    self._warned_native_fallback = True
+                    print(
+                        f"native loader: {int(failed.sum())} sample(s) fell "
+                        f"back to the Python decoder (e.g. {paths[int(np.argmax(failed))]})"
+                    )
+                for j in np.nonzero(failed)[0]:
+                    rng = np.random.default_rng((self.seed, epoch, int(idxs[j])))
+                    img[j], geo[j], app[j] = self.dataset.get_train_uint8(int(idxs[j]), rng)
+            return {
+                "image": to_model_range(img),
+                "geometry_change": to_model_range(geo),
+                "appearance_change": to_model_range(app),
+            }
 
         def one(i):
             rng = np.random.default_rng((self.seed, epoch, int(i)))

@@ -25,14 +25,23 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # compile to a unique temp name + atomic rename: concurrent processes
+    # (multi-process DP on one host) may build simultaneously, and rewriting
+    # a .so another live process has dlopen-mapped in place would SIGBUS it
+    tmp = f"{_LIB}.build.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp,
         "-ljpeg", "-lpng", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -43,10 +52,19 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
-                _build_failed = True
-                return None
+        # a shipped prebuilt .so without the source is usable as-is; only
+        # rebuild when the source exists and is newer (available() must
+        # degrade gracefully, never raise — module docstring contract)
+        have_src = os.path.exists(_SRC)
+        stale = have_src and (
+            not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        )
+        if not os.path.exists(_LIB) and not have_src:
+            _build_failed = True
+            return None
+        if stale and not _build():
+            _build_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
@@ -62,6 +80,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lcg_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), u8p, u8p, u8p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.lcg_load_batch.restype = ctypes.c_int
         _lib = lib
@@ -99,17 +118,23 @@ def load_image(path: str, size: int) -> np.ndarray:
 
 def load_batch(
     paths: List[str], size: int, seeds: List[int], num_threads: int = 4
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Returns (image, geo, app, n_failures); arrays are (N,size,size,3) u8."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (image, geo, app, failed); arrays are (N,size,size,3) u8 and
+    ``failed`` is an (N,) bool mask of samples the native path could not
+    decode (unsupported format / corrupt / IO error) — those output slots
+    are uninitialized and the caller handles exactly them (dataset.py falls
+    back per-sample instead of abandoning the native path)."""
     lib = _load()
     assert lib is not None
     n = len(paths)
     img = np.empty((n, size, size, 3), np.uint8)
     geo = np.empty((n, size, size, 3), np.uint8)
     app = np.empty((n, size, size, 3), np.uint8)
+    status = np.zeros(n, np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     c_seeds = (ctypes.c_uint64 * n)(*[s & (2**64 - 1) for s in seeds])
-    failures = lib.lcg_load_batch(
-        c_paths, n, size, c_seeds, _u8p(img), _u8p(geo), _u8p(app), num_threads
+    lib.lcg_load_batch(
+        c_paths, n, size, c_seeds, _u8p(img), _u8p(geo), _u8p(app), num_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
-    return img, geo, app, failures
+    return img, geo, app, status != 0

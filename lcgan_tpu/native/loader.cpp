@@ -16,7 +16,8 @@
 // Determinism: every sample derives its own splitmix64/xoshiro stream from
 // (seed, index) — results are reproducible regardless of thread schedule.
 //
-// Build: g++ -O3 -march=native -shared -fPIC loader.cpp -o liblcgan_loader.so -ljpeg -lpng -lpthread
+// Build (same recipe __init__.py uses; std::clamp needs C++17):
+//   g++ -O3 -std=c++17 -shared -fPIC loader.cpp -o liblcgan_loader.so -ljpeg -lpng -lpthread
 
 #include <cstdint>
 #include <cstdio>
@@ -85,7 +86,10 @@ uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  uint8_t* out = nullptr;
+  // volatile: `out` is written between setjmp and longjmp — without it the
+  // register copy restored by longjmp is indeterminate (C11 7.13.2.1p3) and
+  // in practice reverts to nullptr, leaking the buffer on corrupt images
+  uint8_t* volatile out = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);
@@ -99,6 +103,7 @@ uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
   *w = cinfo.output_width;
   *h = cinfo.output_height;
   out = (uint8_t*)malloc((size_t)(*w) * (*h) * 3);
+  if (!out) longjmp(jerr.jb, 1);  // decompression bomb / OOM → failure, not UB
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + (size_t)cinfo.output_scanline * (*w) * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -112,10 +117,14 @@ uint8_t* decode_png(FILE* f, int* w, int* h) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return nullptr;
   png_infop info = png_create_info_struct(png);
-  uint8_t* out = nullptr;
-  std::vector<png_bytep> rows;
+  // volatile + malloc'd row array: both are written between setjmp and a
+  // possible longjmp (corrupt IDAT), so register-cached copies would be
+  // indeterminate after the jump (C11 7.13.2.1p3) and leak the buffers
+  uint8_t* volatile out = nullptr;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
+    free(rows);
     free(out);
     return nullptr;
   }
@@ -134,10 +143,12 @@ uint8_t* decode_png(FILE* f, int* w, int* h) {
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
   out = (uint8_t*)malloc((size_t)(*w) * (*h) * 3);
-  rows.resize(*h);
+  rows = (png_bytep*)malloc((size_t)(*h) * sizeof(png_bytep));
+  if (!out || !rows) longjmp(png_jmpbuf(png), 1);  // bomb/OOM → failure
   for (int y = 0; y < *h; y++) rows[y] = out + (size_t)y * (*w) * 3;
-  png_read_image(png, rows.data());
+  png_read_image(png, rows);
   png_destroy_read_struct(&png, &info, nullptr);
+  free(rows);
   return out;
 }
 
@@ -305,8 +316,15 @@ void warp_perspective(const uint8_t* in, uint8_t* out, int size, const double H[
     uint8_t* orow = out + (size_t)y * size * 3;
     for (int x = 0; x < size; x++) {
       double d = Hi[6] * x + Hi[7] * y + Hi[8];
+      if (std::fabs(d) < 1e-12) {  // horizon line: no finite source pixel
+        orow[x * 3 + 0] = orow[x * 3 + 1] = orow[x * 3 + 2] = 0;
+        continue;
+      }
       double sx = (Hi[0] * x + Hi[1] * y + Hi[2]) / d;
       double sy = (Hi[3] * x + Hi[4] * y + Hi[5]) / d;
+      // clamp before the int cast: double→int outside int range is UB
+      sx = std::clamp(sx, -2.0, (double)size + 2.0);
+      sy = std::clamp(sy, -2.0, (double)size + 2.0);
       int x0 = (int)std::floor(sx), y0 = (int)std::floor(sy);
       float fx = (float)(sx - x0), fy = (float)(sy - y0);
       for (int c = 0; c < 3; c++) {
@@ -495,10 +513,13 @@ int lcg_load_image(const char* path, int size, uint8_t* out_img) {
 
 // Batch load with an internal thread pool. paths: array of n C strings.
 // Outputs are (n, size, size, 3) uint8, C-contiguous. seeds: n uint64.
+// status: n int32 per-sample codes (0 == ok, 1 == failed) so the caller
+// can fall back for exactly the failed samples (a single unsupported
+// format or transient IO error must not poison the whole batch).
 // Returns number of failures (0 == all good).
 int lcg_load_batch(const char** paths, int n, int size, const uint64_t* seeds,
                    uint8_t* out_img, uint8_t* out_geo, uint8_t* out_app,
-                   int num_threads) {
+                   int num_threads, int32_t* status) {
   std::atomic<int> next(0), failures(0);
   size_t stride = (size_t)size * size * 3;
   auto worker = [&]() {
@@ -508,6 +529,7 @@ int lcg_load_batch(const char** paths, int n, int size, const uint64_t* seeds,
       int rc = lcg_load_triple(paths[i], size, seeds[i],
                                out_img + i * stride, out_geo + i * stride,
                                out_app + i * stride);
+      if (status) status[i] = rc ? 1 : 0;
       if (rc) failures.fetch_add(1);
     }
   };

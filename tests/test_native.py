@@ -62,8 +62,8 @@ def test_identity_size_passthrough(tmp_path, rng):
 def test_batch_parallel_matches_serial(png_path, jpg_path):
     paths = [png_path, jpg_path, png_path, jpg_path]
     seeds = [1, 2, 3, 4]
-    img, geo, app, failures = native.load_batch(paths, 32, seeds, num_threads=3)
-    assert failures == 0
+    img, geo, app, failed = native.load_batch(paths, 32, seeds, num_threads=3)
+    assert not failed.any()
     for i, (p, s) in enumerate(zip(paths, seeds)):
         si, sg, sa = native.load_triple(p, 32, s)
         np.testing.assert_array_equal(img[i], si)
@@ -71,6 +71,36 @@ def test_batch_parallel_matches_serial(png_path, jpg_path):
         np.testing.assert_array_equal(app[i], sa)
 
 
-def test_bad_path_reports_failure(tmp_path):
-    img, geo, app, failures = native.load_batch([str(tmp_path / "missing.jpg")], 16, [0])
-    assert failures == 1
+def test_bad_path_reports_failure(tmp_path, png_path):
+    # per-sample mask: the bad slot is flagged, the good slot still decodes
+    paths = [str(tmp_path / "missing.jpg"), png_path]
+    img, geo, app, failed = native.load_batch(paths, 16, [0, 1])
+    assert failed.tolist() == [True, False]
+    ref, _, _ = native.load_triple(png_path, 16, 1)
+    np.testing.assert_array_equal(img[1], ref)
+
+
+def test_pipeline_per_sample_fallback(tmp_path):
+    """One non-JPEG/PNG file (PIL handles it, the C++ decoder does not) must
+    fall back for THAT sample only — the native path stays enabled and the
+    batch is fully valid (the old behavior disabled native forever)."""
+    from PIL import Image
+
+    from lcgan_tpu.data.dataset import ImageFolderDataset, TrainInputPipeline
+
+    d = tmp_path / "ds" / "train" / "x"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(d / f"{i}.png")
+    Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(d / "3.bmp")
+
+    ds = ImageFolderDataset(str(tmp_path / "ds"), 16, is_train=True, seed=0)
+    pipe = TrainInputPipeline(ds, batch_size=4, num_workers=1, seed=0)
+    assert pipe.use_native
+    batch = next(iter(pipe))
+    assert pipe.use_native  # still on after the .bmp
+    for k in ("image", "geometry_change", "appearance_change"):
+        assert batch[k].shape == (4, 16, 16, 3)
+        assert np.isfinite(batch[k]).all()
+        assert batch[k].min() >= -1.0 and batch[k].max() <= 1.0
