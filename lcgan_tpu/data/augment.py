@@ -12,11 +12,12 @@ numpy arrays (cv2 does the heavy lifting in C++ and releases the GIL):
     ColorJitter (brightness/contrast/saturation/hue = 0.2, torchvision
     semantics, random order), p=0.5 each (custom_dataset.py:19-24,35-49)
 
-Distributional note: albumentations' Perspective draws corner offsets from
-N(0, scale) with scale ~ U(0.05, 0.1) of the side length; this module draws
-the same way. Exact per-sample parity with albumentations is neither needed
-nor testable (the reference trains on random draws); the transform family
-and magnitudes match.
+Distributional note: exact per-sample parity with albumentations is neither
+needed nor testable (the reference trains on random draws), but the
+DISTRIBUTIONS are matched op by op: Perspective reproduces the 1.3-era
+algorithm (inward |N(0, scale)| mod 0.32 corner jitter, quad→rect mapping,
+keep_size resize, fit_output expand — see random_perspective), CoarseDropout
+the inclusive placement bounds, ColorJitter the uint8 HSV hue semantics.
 
 All functions take uint8 RGB HWC arrays and a ``numpy.random.Generator``.
 """
@@ -31,23 +32,57 @@ import numpy as np
 # geometry view
 # ----------------------------------------------------------------------
 def random_perspective(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Random 4-corner perspective warp, scale ~ U(0.05, 0.1)."""
+    """albumentations.Perspective(scale=(0.05, 0.1), keep_size=True) parity.
+
+    The reference applies exactly one of two variants per sample —
+    fit_output=True or False, p=0.5 each (custom_dataset.py:22-23,29-33).
+    albumentations (1.3-era, the reference installs -U) jitters each corner
+    INWARD by |N(0, scale)| mod 0.32 of the side and maps that source quad
+    TO an output rectangle sized by the quad's own extents:
+
+      * fit_output=False → a border-free perspective crop-zoom of the quad
+      * fit_output=True  → the transform is expanded so the whole warped
+        source frame is visible (black wedges at the corners)
+
+    then keep_size resizes back to (w, h) with bilinear. (An earlier
+    implementation here drew SIGNED offsets and mapped frame→quad — the
+    inverse direction, leaving black wedges in half the non-fit draws; a
+    systematic distribution mismatch for the contrastive geometry view.)
+    """
     fit_output = bool(rng.random() < 0.5)  # variant 1 vs 2 (p=0.5 each)
     h, w = img.shape[:2]
     scale = rng.uniform(0.05, 0.1)
-    jitter = rng.normal(0.0, scale, (4, 2)).astype(np.float32)
-    jitter = np.clip(jitter, -0.3, 0.3)
-    src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
-    dst = src + jitter * np.array([w, h], np.float32)
-
+    pts = np.mod(np.abs(rng.normal(0.0, scale, (4, 2))), 0.32)
+    # inward corner jitter: tl, tr, br, bl. (albumentations re-orders the
+    # points geometrically; with jitter < 0.32 of the side the natural
+    # order is always already correct, so the sort is a no-op here.)
+    quad = np.array(
+        [
+            [pts[0, 0], pts[0, 1]],
+            [1.0 - pts[1, 0], pts[1, 1]],
+            [1.0 - pts[2, 0], 1.0 - pts[2, 1]],
+            [pts[3, 0], 1.0 - pts[3, 1]],
+        ],
+        np.float32,
+    ) * np.array([w, h], np.float32)
+    tl, tr, br, bl = quad
+    mw = max(int(np.hypot(*(br - bl))), int(np.hypot(*(tr - tl))))
+    mh = max(int(np.hypot(*(tr - br))), int(np.hypot(*(tl - bl))))
+    dst = np.array([[0, 0], [mw - 1, 0], [mw - 1, mh - 1], [0, mh - 1]], np.float32)
+    m = cv2.getPerspectiveTransform(quad, dst)
     if fit_output:
-        # translate/scale so the full warped quad lands inside the frame,
-        # then keep_size (already same size here)
-        mn = dst.min(axis=0)
-        mx = dst.max(axis=0)
-        dst = (dst - mn) / np.maximum(mx - mn, 1e-6) * np.array([w, h], np.float32)
-    m = cv2.getPerspectiveTransform(src, dst)
-    return cv2.warpPerspective(img, m, (w, h), flags=cv2.INTER_LINEAR, borderValue=0)
+        # albumentations._expand_transform: carry the warped source frame
+        # into view and size the output to its (rounded) extents
+        rect = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float32)
+        tc = cv2.perspectiveTransform(rect[None], m)[0]
+        tc -= tc.min(axis=0, keepdims=True)
+        tc = np.around(tc, decimals=0)
+        m = cv2.getPerspectiveTransform(rect, tc.astype(np.float32))
+        mw, mh = (int(v) for v in (tc.max(axis=0) + 1))
+    out = cv2.warpPerspective(img, m, (mw, mh), flags=cv2.INTER_LINEAR, borderValue=0)
+    if (mh, mw) != (h, w):  # keep_size=True
+        out = cv2.resize(out, (w, h), interpolation=cv2.INTER_LINEAR)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -58,8 +93,10 @@ def coarse_dropout(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     h, w = img.shape[:2]
     hole_h = int(rng.uniform(0.3, 0.5) * h)
     hole_w = int(rng.uniform(0.3, 0.5) * w)
-    y = int(rng.integers(0, max(h - hole_h, 1)))
-    x = int(rng.integers(0, max(w - hole_w, 1)))
+    # +1: random.randint's INCLUSIVE upper bound (albumentations) — the hole
+    # can sit flush with the bottom/right edge
+    y = int(rng.integers(0, max(h - hole_h, 0) + 1))
+    x = int(rng.integers(0, max(w - hole_w, 0) + 1))
     out = img.copy()
     out[y : y + hole_h, x : x + hole_w] = 0
     return out
@@ -78,11 +115,12 @@ def color_jitter(img: np.ndarray, rng: np.random.Generator, strength: float = 0.
         if op == 0:  # brightness
             f = rng.uniform(1 - strength, 1 + strength)
             out = np.clip(out.astype(np.float32) * f, 0, 255).astype(np.uint8)
-        elif op == 1:  # contrast: blend with mean gray
+        elif op == 1:  # contrast: blend with (scalar) mean gray
             f = rng.uniform(1 - strength, 1 + strength)
-            gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
-            mean = np.full_like(out, int(round(gray.mean())))
-            out = _blend(out, mean, f)
+            m = round(float(cv2.cvtColor(out, cv2.COLOR_RGB2GRAY).mean()))
+            out = np.clip(
+                out.astype(np.float32) * f + m * (1.0 - f), 0, 255
+            ).astype(np.uint8)
         elif op == 2:  # saturation: blend with per-pixel gray
             f = rng.uniform(1 - strength, 1 + strength)
             gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)[..., None].repeat(3, axis=2)
@@ -90,9 +128,12 @@ def color_jitter(img: np.ndarray, rng: np.random.Generator, strength: float = 0.
         else:  # hue shift in [-0.2, 0.2] of the wheel
             f = rng.uniform(-strength, strength)
             hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
-            # cv2 uint8 hue range is [0,180)
-            hsv[..., 0] = (hsv[..., 0].astype(np.int32) + int(round(f * 180))) % 180
-            out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+            # cv2 uint8 hue range is [0,180); float shift + truncating cast
+            # (albumentations' uint8 LUT semantics, not a pre-rounded int)
+            hsv[..., 0] = ((hsv[..., 0].astype(np.float32) + f * 180.0) % 180.0).astype(
+                np.uint8
+            )
+            out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
     return out
 
 

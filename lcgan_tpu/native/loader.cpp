@@ -3,8 +3,9 @@
 // C++ equivalent of the reference's CPU-side hot path — decode, Lanczos
 // square resize, and the triple-view augmentation (custom_dataset.py:59-88):
 //   base view:       shared random h-flip
-//   geometry view:   random 4-corner perspective warp (two variants:
-//                    fit-output and in-place, p=0.5 each)
+//   geometry view:   random 4-corner perspective warp, albumentations
+//                    semantics (two variants: fit-output and crop-zoom,
+//                    p=0.5 each)
 //   appearance view: coarse dropout (1 hole, 30-50% per side) OR color
 //                    jitter (brightness/contrast/saturation/hue 0.2), p=0.5
 //
@@ -308,13 +309,15 @@ void invert3x3(const double m[9], double inv[9]) {
   inv[8] = (m[0] * m[4] - m[1] * m[3]) * id;
 }
 
-// inverse-map bilinear warp, black border
-void warp_perspective(const uint8_t* in, uint8_t* out, int size, const double H[9]) {
+// inverse-map bilinear warp, black border; in is (size x size),
+// out is (out_h x out_w)
+void warp_perspective(const uint8_t* in, uint8_t* out, int size, int out_w,
+                      int out_h, const double H[9]) {
   double Hi[9];
   invert3x3(H, Hi);
-  for (int y = 0; y < size; y++) {
-    uint8_t* orow = out + (size_t)y * size * 3;
-    for (int x = 0; x < size; x++) {
+  for (int y = 0; y < out_h; y++) {
+    uint8_t* orow = out + (size_t)y * out_w * 3;
+    for (int x = 0; x < out_w; x++) {
       double d = Hi[6] * x + Hi[7] * y + Hi[8];
       if (std::fabs(d) < 1e-12) {  // horizon line: no finite source pixel
         orow[x * 3 + 0] = orow[x * 3 + 1] = orow[x * 3 + 2] = 0;
@@ -346,42 +349,105 @@ void warp_perspective(const uint8_t* in, uint8_t* out, int size, const double H[
   }
 }
 
+// cv2.resize(INTER_LINEAR) semantics: half-pixel centers, edge clamp
+void bilinear_resize(const uint8_t* in, int w_in, int h_in, uint8_t* out,
+                     int w_out, int h_out) {
+  double sx_ratio = (double)w_in / w_out, sy_ratio = (double)h_in / h_out;
+  for (int y = 0; y < h_out; y++) {
+    double sy = (y + 0.5) * sy_ratio - 0.5;
+    int y0 = (int)std::floor(sy);
+    float fy = (float)(sy - y0);
+    int ya = std::clamp(y0, 0, h_in - 1), yb = std::clamp(y0 + 1, 0, h_in - 1);
+    uint8_t* orow = out + (size_t)y * w_out * 3;
+    for (int x = 0; x < w_out; x++) {
+      double sx = (x + 0.5) * sx_ratio - 0.5;
+      int x0 = (int)std::floor(sx);
+      float fx = (float)(sx - x0);
+      int xa = std::clamp(x0, 0, w_in - 1), xb = std::clamp(x0 + 1, 0, w_in - 1);
+      const uint8_t* r0 = in + ((size_t)ya * w_in) * 3;
+      const uint8_t* r1 = in + ((size_t)yb * w_in) * 3;
+      for (int c = 0; c < 3; c++) {
+        float top = r0[xa * 3 + c] * (1.f - fx) + r0[xb * 3 + c] * fx;
+        float bot = r1[xa * 3 + c] * (1.f - fx) + r1[xb * 3 + c] * fx;
+        orow[x * 3 + c] = clamp_u8(top * (1.f - fy) + bot * fy);
+      }
+    }
+  }
+}
+
+// albumentations.Perspective(scale=(0.05,0.1), keep_size=True) semantics
+// (mirrors lcgan_tpu/data/augment.py random_perspective): inward
+// |N(0,scale)| mod 0.32 corner jitter, source QUAD mapped to an output
+// rect sized by the quad's extents (fit_output=False → border-free
+// crop-zoom; True → transform expanded to show the whole warped frame),
+// then bilinear resize back to size.
 void random_perspective(const uint8_t* in, uint8_t* out, int size, Rng& rng) {
   bool fit_output = rng.uniform() < 0.5;
   double scale = rng.uniform(0.05, 0.1);
-  double src[4][2] = {{0, 0}, {(double)size, 0}, {(double)size, (double)size}, {0, (double)size}};
-  double dst[4][2];
-  for (int i = 0; i < 4; i++) {
-    double jx = std::clamp(rng.normal() * scale, -0.3, 0.3);
-    double jy = std::clamp(rng.normal() * scale, -0.3, 0.3);
-    dst[i][0] = src[i][0] + jx * size;
-    dst[i][1] = src[i][1] + jy * size;
-  }
-  if (fit_output) {
-    double mnx = dst[0][0], mxx = dst[0][0], mny = dst[0][1], mxy = dst[0][1];
-    for (int i = 1; i < 4; i++) {
-      mnx = std::min(mnx, dst[i][0]); mxx = std::max(mxx, dst[i][0]);
-      mny = std::min(mny, dst[i][1]); mxy = std::max(mxy, dst[i][1]);
-    }
-    for (int i = 0; i < 4; i++) {
-      dst[i][0] = (dst[i][0] - mnx) / std::max(mxx - mnx, 1e-6) * size;
-      dst[i][1] = (dst[i][1] - mny) / std::max(mxy - mny, 1e-6) * size;
-    }
-  }
+  double p[4][2];
+  for (int i = 0; i < 4; i++)
+    for (int c = 0; c < 2; c++) p[i][c] = std::fmod(std::fabs(rng.normal() * scale), 0.32);
+  double quad[4][2] = {
+      {p[0][0] * size, p[0][1] * size},
+      {(1.0 - p[1][0]) * size, p[1][1] * size},
+      {(1.0 - p[2][0]) * size, (1.0 - p[2][1]) * size},
+      {p[3][0] * size, (1.0 - p[3][1]) * size},
+  };
+  auto dist = [](const double a[2], const double b[2]) {
+    return std::hypot(a[0] - b[0], a[1] - b[1]);
+  };
+  int mw = (int)std::max((double)(int)dist(quad[2], quad[3]), (double)(int)dist(quad[1], quad[0]));
+  int mh = (int)std::max((double)(int)dist(quad[1], quad[2]), (double)(int)dist(quad[0], quad[3]));
+  mw = std::max(mw, 2); mh = std::max(mh, 2);
+  double rect[4][2] = {{0, 0}, {mw - 1.0, 0}, {mw - 1.0, mh - 1.0}, {0, mh - 1.0}};
   double H[9];
-  if (!solve_homography(src, dst, H)) {
+  if (!solve_homography(quad, rect, H)) {
     memcpy(out, in, (size_t)size * size * 3);
     return;
   }
-  warp_perspective(in, out, size, H);
+  if (fit_output) {
+    // transform the source frame's corners, shift to >= 0, round, re-solve
+    double frame[4][2] = {{0, 0}, {size - 1.0, 0}, {size - 1.0, size - 1.0}, {0, size - 1.0}};
+    double tc[4][2];
+    double mnx = 1e30, mny = 1e30;
+    for (int i = 0; i < 4; i++) {
+      double d = H[6] * frame[i][0] + H[7] * frame[i][1] + H[8];
+      tc[i][0] = (H[0] * frame[i][0] + H[1] * frame[i][1] + H[2]) / d;
+      tc[i][1] = (H[3] * frame[i][0] + H[4] * frame[i][1] + H[5]) / d;
+      mnx = std::min(mnx, tc[i][0]);
+      mny = std::min(mny, tc[i][1]);
+    }
+    double mxx = 0, mxy = 0;
+    for (int i = 0; i < 4; i++) {
+      tc[i][0] = std::round(tc[i][0] - mnx);
+      tc[i][1] = std::round(tc[i][1] - mny);
+      mxx = std::max(mxx, tc[i][0]);
+      mxy = std::max(mxy, tc[i][1]);
+    }
+    if (!solve_homography(frame, tc, H)) {
+      memcpy(out, in, (size_t)size * size * 3);
+      return;
+    }
+    mw = (int)mxx + 1;
+    mh = (int)mxy + 1;
+  }
+  std::vector<uint8_t> tmp((size_t)mw * mh * 3);
+  warp_perspective(in, tmp.data(), size, mw, mh, H);
+  if (mw == size && mh == size) {
+    memcpy(out, tmp.data(), (size_t)size * size * 3);
+  } else {
+    bilinear_resize(tmp.data(), mw, mh, out, size, size);  // keep_size
+  }
 }
 
 void coarse_dropout(const uint8_t* in, uint8_t* out, int size, Rng& rng) {
   memcpy(out, in, (size_t)size * size * 3);
   int hh = (int)(rng.uniform(0.3, 0.5) * size);
   int ww = (int)(rng.uniform(0.3, 0.5) * size);
-  int y0 = (int)(rng.uniform() * std::max(size - hh, 1));
-  int x0 = (int)(rng.uniform() * std::max(size - ww, 1));
+  // +1: inclusive placement bound (random.randint semantics) so the hole
+  // can sit flush with the bottom/right edge
+  int y0 = (int)(rng.uniform() * (std::max(size - hh, 0) + 1));
+  int x0 = (int)(rng.uniform() * (std::max(size - ww, 0) + 1));
   for (int y = y0; y < y0 + hh && y < size; y++)
     memset(out + ((size_t)y * size + x0) * 3, 0, (size_t)std::min(ww, size - x0) * 3);
 }

@@ -89,3 +89,23 @@ def test_augment_families(rng):
 
     unit = augment.to_model_range(img)
     np.testing.assert_allclose(unit, img.astype(np.float32) / 255 * 2 - 1, atol=1e-6)
+
+
+def test_perspective_albumentations_semantics(rng):
+    """albumentations maps an inward-jittered quad TO the output rect:
+    fit_output=False draws are border-free crop-zooms (a white image stays
+    all white), fit_output=True draws expand the frame (black wedges).
+    Both variants must occur at p=0.5 each (custom_dataset.py:22-33)."""
+    white = np.full((64, 64, 3), 255, np.uint8)
+    borderless = expanded = 0
+    for seed in range(24):
+        out = augment.random_perspective(white, np.random.default_rng(seed))
+        assert out.shape == white.shape
+        if (out == 255).all():  # crop-zoom of a white interior stays white
+            borderless += 1
+        elif (out < 128).any():  # a dark wedge survived the keep_size blur
+            expanded += 1
+        # (tiny-jitter fit-output draws blur their wedge to mid-gray and
+        # land in neither bucket — the partition is not exhaustive)
+    assert borderless > 0, "no crop-zoom (fit_output=False) draws"
+    assert expanded > 0, "no expanded (fit_output=True) draws"

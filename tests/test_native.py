@@ -104,3 +104,22 @@ def test_pipeline_per_sample_fallback(tmp_path):
         assert batch[k].shape == (4, 16, 16, 3)
         assert np.isfinite(batch[k]).all()
         assert batch[k].min() >= -1.0 and batch[k].max() <= 1.0
+
+
+def test_native_perspective_albumentations_semantics(tmp_path):
+    """The C++ geometry view mirrors augment.py's albumentations semantics:
+    crop-zoom draws keep a white image all white; fit-output draws introduce
+    black wedges. Both variants occur."""
+    from PIL import Image
+
+    p = str(tmp_path / "white.png")
+    Image.fromarray(np.full((64, 64, 3), 255, np.uint8)).save(p)
+    borderless = expanded = 0
+    for seed in range(24):
+        _, geo, _ = native.load_triple(p, 64, seed)
+        if (geo == 255).all():  # crop-zoom of a white interior stays white
+            borderless += 1
+        elif (geo < 128).any():  # a dark wedge survived the keep_size blur
+            expanded += 1
+    assert borderless > 0, "no crop-zoom (fit_output=False) draws"
+    assert expanded > 0, "no expanded (fit_output=True) draws"
