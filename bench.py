@@ -126,11 +126,44 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> float:
     return {"ips": round(ips, 2), "mfu": mfu, "mfu_useful": mfu_useful}
 
 
-def main():
-    import jax
+def _devices_or_die(timeout_s: float = 300.0) -> int:
+    """Backend init with a watchdog: the experimental axon tunnel can hang
+    jax.devices() FOREVER when the relay is down (observed r3) — emit the
+    null-value JSON line instead of wedging the caller."""
+    import threading
 
+    result = {}
+
+    def probe():
+        import jax
+
+        result["n"] = jax.device_count()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "n" not in result:
+        import os
+
+        print(
+            json.dumps(
+                {
+                    "metric": "train_imgs_per_sec_per_chip_256",
+                    "value": None,
+                    "unit": "imgs/sec/chip",
+                    "vs_baseline": 0.0,
+                    "errors": {"backend": f"device init hung > {int(timeout_s)}s (axon tunnel down?)"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+    return result["n"]
+
+
+def main():
     _enable_cache()
-    n_chips = jax.device_count()
+    n_chips = _devices_or_die()
     results, errors = {}, {}
     for res, b in RECIPES:
         try:
