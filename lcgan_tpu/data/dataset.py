@@ -208,6 +208,7 @@ class Prefetcher:
         self.it = it
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -215,6 +216,8 @@ class Prefetcher:
         try:
             for item in self.it:
                 self.q.put(item)
+        except BaseException as e:  # surfaced in __next__, not swallowed
+            self._error = e
         finally:
             self.q.put(self._done)
 
@@ -224,5 +227,10 @@ class Prefetcher:
     def __next__(self):
         item = self.q.get()
         if item is self._done:
+            if self._error is not None:
+                # re-raise the loader's real failure (a corrupt file, a batch
+                # geometry error) instead of a bare StopIteration that the
+                # train loop would misread as end-of-data
+                raise self._error
             raise StopIteration
         return item

@@ -51,7 +51,15 @@ def demo_generation(
     rng_key: Optional[jax.Array] = None,
 ):
     """Sweep one latent dim −psi→+psi→−psi over num_explore steps each way;
-    mp4 per video (worker.py:447-485)."""
+    mp4 per video (worker.py:447-485).
+
+    Parity note: the endpoint arithmetic deliberately reproduces the
+    reference's (worker.py:456-472): the code starts at −psi − interval and
+    increments BEFORE rendering, so the up-pass tops out at +psi − interval
+    (never exactly +psi) and the down-pass's final frame sits at
+    −psi − interval, one step out of range. The monitor sweep
+    (monitor_current_result) interpolates and hits both endpoints — that
+    asymmetry is the reference's, not an accident here."""
     key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed)
     folder = cfg.run_dirs()["demo"]
     os.makedirs(folder, exist_ok=True)

@@ -82,16 +82,22 @@ def train(cfg: Config):
     data = make_train_pipeline(cfg)
     start_time = datetime.now()
 
+    # profiler window relative to the START epoch (a resume past absolute
+    # epoch 12 would otherwise never start — and then crash in stop_trace)
+    profile_start = epoch + 12  # steady state: past all variant compiles
+    profile_stop = min(profile_start + 8, cfg.epoch)
     profiling = bool(cfg.profile_dir)
+    tracing = False
     while epoch <= cfg.epoch:
         batch = next(data)
-        if profiling and epoch == 12:  # steady state: past all variant compiles
+        if profiling and epoch == profile_start:
             jax.profiler.start_trace(cfg.profile_dir)
+            tracing = True
         state, g_loss, d_loss = trainer.train_iteration(state, batch, epoch)
-        if profiling and epoch == 20:
+        if tracing and epoch >= profile_stop:
             jax.block_until_ready(state)
             jax.profiler.stop_trace()
-            profiling = False
+            profiling = tracing = False
 
         if epoch % cfg.print_interval == 0:
             g, d = float(g_loss), float(d_loss)  # blocks, == barrier fence
@@ -105,9 +111,13 @@ def train(cfg: Config):
 
         if epoch % cfg.show_interval == 0 and epoch > 0:
             if _is_main():
+                # images_per_output=32: the reference's monitor grouping
+                # (worker.py:255 default — 2 groups of 32 dims at the
+                # default geo_noise_dim=64; remainder dims are dropped by
+                # the reference's floor-division loop, preserved here)
                 monitor_current_result(
                     cfg, trainer, state, epoch=epoch, num_explore=20, w_psi=cfg.w_psi,
-                    images_per_output=cfg.geo_noise_dim,
+                    images_per_output=min(32, cfg.geo_noise_dim),
                 )
             # dist.barrier fence (loader.py:73): without it, non-zero
             # processes race into the next iteration's collective while

@@ -104,11 +104,15 @@ def make_optimizers(cfg: Config):
     return g_tx, d_tx
 
 
-def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
+def create_train_state(
+    cfg: Config, seed: int | None = None, models=None, txs=None
+) -> TrainState:
     """Initialize all params/opt-states; EMA starts as an exact copy
-    (ema.py:12-17)."""
-    generator, discriminator = build_models(cfg)
-    g_tx, d_tx = make_optimizers(cfg)
+    (ema.py:12-17). ``models``/``txs`` let a Trainer pass its own
+    (build_models is deterministic in cfg either way — this just avoids a
+    second construction)."""
+    generator, discriminator = models if models is not None else build_models(cfg)
+    g_tx, d_tx = txs if txs is not None else make_optimizers(cfg)
 
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     kg, kd, krun = jax.random.split(key, 3)
