@@ -100,14 +100,36 @@ def build_parser() -> argparse.ArgumentParser:
 
     # --- TPU-native extensions ---
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
-                   help="bfloat16 or float32 compute (params stay fp32)")
+                   choices=["bfloat16", "float32"],
+                   help="conv/matmul compute dtype (params stay fp32)")
     p.add_argument("--seed", type=int, default=0, help="global PRNG seed")
     p.add_argument("--inception_weights", type=str, default="",
                    help="path to pytorch-fid pt_inception .pth for FID eval")
     p.add_argument("--remat_blocks", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="rematerialize G/D blocks in backward (--no-remat_blocks to disable)")
+    p.add_argument("--remat_save_g_convs", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="save G blocks' conv outputs so the remat backward skips the conv recompute")
+    p.add_argument("--remat_save_d_convs", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="same conv-save policy on the D trunk")
+    p.add_argument("--remat_save_max_res", type=int, default=512,
+                   help="largest block output map the conv-save remat policies apply to")
+    p.add_argument("--view_batched_steps", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="fuse the even iteration's per-view G/D applications into batched ones")
+    p.add_argument("--base_nf", type=int, default=None,
+                   help="override the per-resolution channel base (tiny models / ablations)")
+    p.add_argument("--max_nf", type=int, default=512, help="channel cap per block")
+    p.add_argument("--mbstd_group_size", type=int, default=8,
+                   help="minibatch-std group size in the D epilogue")
+    p.add_argument("--adam_eps", type=float, default=1e-8, help="Adam epsilon")
     p.add_argument("--num_data_workers", type=int, default=4, help="host data worker threads")
+    p.add_argument("--distributed", type=str, default="auto", choices=["auto", "on", "off"],
+                   help="initialize jax.distributed for multi-host runs: 'auto' when a "
+                        "coordinator/pod environment is detected, 'on' to force (pass this "
+                        "on TPU pod slices if auto-detection misses), 'off' never")
     p.add_argument("--warp_impl", type=str, default="auto",
                    choices=["auto", "pallas", "banded", "none"],
                    help="bicubic-warp backend (auto: fused Pallas kernel on TPU; "
@@ -122,10 +144,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _explicit_flags(argv=None) -> dict:
+    """The flags the user actually typed (re-parse with SUPPRESS defaults)."""
+    p = build_parser()
+    for action in p._actions:
+        action.default = argparse.SUPPRESS
+    return vars(p.parse_args(argv))
+
+
 def parse_config(argv=None) -> Config:
     args = build_parser().parse_args(argv)
     fields = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(args).items() if k in fields})
+    # Eval/generation phases reload the run's args.txt so model-geometry flags
+    # (img_resolution, latent dims, base_nf, compute_dtype ...) never have to
+    # be retyped to match the checkpoint; explicitly typed flags still win.
+    # The reference dumps args.txt but never reloads it — eval must be
+    # re-invoked with matching --img_resolution by hand (README.md:61-63).
+    args_txt = os.path.join(cfg.model_name, "args.txt") if cfg.model_name else ""
+    if cfg.phase != "train" and args_txt and os.path.exists(args_txt):
+        cfg = Config.load(args_txt)
+        cfg.phase = args.phase
+        for k, v in _explicit_flags(argv).items():
+            if k in fields:
+                setattr(cfg, k, v)
     cfg.validate()
     return cfg
 
@@ -150,12 +192,25 @@ def main(argv=None):
     except RuntimeError:
         pass
 
-    # multi-host TPU slices: initialize the distributed runtime when a
-    # coordinator is configured (single-host runs skip this)
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    cfg = parse_config(argv)
+
+    # Multi-host slices need the distributed runtime BEFORE any device use:
+    # process_barrier fences and collective Orbax saves ride its coordination
+    # service. 'auto' catches explicit coordinators and Cloud TPU pod markers;
+    # jax.distributed.initialize() itself auto-detects addresses/ranks on TPU
+    # pods. Pass --distributed on if a pod environment isn't auto-detected.
+    # TPU_WORKER_HOSTNAMES is set to a single hostname even on one-host
+    # boxes (the platform plugin injects it), so it only counts as a pod
+    # marker when it actually lists multiple workers.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    pod_env = bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or ("," in workers)
+    )
+    if cfg.distributed == "on" or (cfg.distributed == "auto" and pod_env):
         jax.distributed.initialize()
 
-    cfg = parse_config(argv)
     print(cfg)
     from lcgan_tpu.train.loop import run_phase
 

@@ -105,6 +105,10 @@ class Config:
     # isolated and lost composed — tools/step_breakdown_probe --savedconv).
     remat_save_d_convs: bool = False
     profile_dir: str = ""  # if set, jax.profiler traces are written here
+    # jax.distributed.initialize policy: "auto" initializes when a coordinator
+    # or Cloud TPU pod environment is detected, "on" forces it (multi-host
+    # launches whose environment auto-detection misses), "off" never.
+    distributed: str = "auto"
     # Bicubic-warp backend: "pallas" = fused TPU kernel (ops/warp_pallas.py),
     # "banded" = XLA scan form, "auto" = pallas on TPU backends, banded
     # elsewhere (CPU tests/dryrun can't run Mosaic kernels).
@@ -191,3 +195,14 @@ class Config:
             raise ValueError(
                 f"warp_impl must be one of auto|pallas|banded|none, got {self.warp_impl!r}"
             )
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            # fail at validation, not at the first cfg.dtype access deep in
+            # the model build (where a 'bf16' typo surfaces as a numpy error)
+            raise ValueError(
+                f"compute_dtype must be bfloat16 or float32, got {self.compute_dtype!r}"
+            )
+        for name in ("save_interval", "print_interval", "show_interval"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be >= 1 (the train loop takes `step % {name}`)")
+        if self.distributed not in ("auto", "on", "off"):
+            raise ValueError(f"distributed must be auto|on|off, got {self.distributed!r}")

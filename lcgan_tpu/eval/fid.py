@@ -83,7 +83,10 @@ def fid_real_indices(
 
 
 def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) -> float:
-    inception = InceptionV3FID(dtype=cfg.dtype)
+    # The FID protocol is fp32 (pytorch-fid runs Inception in fp32): the
+    # metric must not move with the --compute_dtype training knob, or best-FID
+    # tracking compares numbers from different precisions.
+    inception = InceptionV3FID(dtype=jnp.float32)
     inc_vars = load_inception_params(cfg, inception)
 
     # weights passed as an ARGUMENT, not a closure: baked-in ~95MB constants
@@ -97,6 +100,9 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
         from lcgan_tpu.train.steps import _local_shard_data
 
         sharding = NamedSharding(mesh, P("data"))
+        # replicate the ~95MB weights onto the mesh ONCE — left committed to
+        # the default device they would be re-broadcast on every dispatch
+        inc_vars = jax.device_put(inc_vars, NamedSharding(mesh, P()))
         feat_sharded = jax.jit(
             lambda v, imgs: inception.apply(v, imgs), out_shardings=sharding
         )
@@ -122,7 +128,6 @@ def fid_evaluate(cfg: Config, trainer, state, num_images: Optional[int] = None) 
     n = min(len(dataset), 50000 if num_images is None else num_images)
     local_b = max(cfg.batch_size // jax.process_count(), 1)
     num_batches = int(math.floor(n / cfg.batch_size)) if cfg.batch_size <= n else 1
-    num_batches = max(num_batches, 1)
     if cfg.batch_size > n:  # tiny dataset: shrink the batch, never duplicate
         local_b = max(n // jax.process_count(), 1)
 

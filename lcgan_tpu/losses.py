@@ -39,21 +39,6 @@ def bce_logits(logit: jax.Array, target: float) -> jax.Array:
     return jnp.mean(jax.nn.softplus(logit) - target * logit)
 
 
-def r1_penalty(logit_fn: Callable[[jax.Array], jax.Array], images: jax.Array) -> jax.Array:
-    """R1 gradient penalty (loss.py:18-24): 0.5·E[||∇_x D(x)||²].
-
-    ``logit_fn`` maps images -> (B,1) logits; the gradient of its sum w.r.t.
-    the images is taken inside the loss so the outer jax.grad of the train
-    step differentiates through it (higher-order AD, no create_graph needed).
-    Returns the penalty AND is paired with the caller computing logits once —
-    use :func:`r1_penalty_with_logits` to avoid a second forward.
-    """
-    grads = jax.grad(lambda img: jnp.sum(logit_fn(img).astype(jnp.float32)))(images)
-    grads = grads.astype(jnp.float32)
-    batch = images.shape[0]
-    return 0.5 * jnp.mean(jnp.sum(jnp.square(grads.reshape(batch, -1)), axis=1))
-
-
 def r1_penalty_with_logits(
     logit_fn: Callable[[jax.Array], jax.Array], images: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -55,6 +55,39 @@ def test_cli_parses_reference_flags(tmp_path):
     assert cfg.tau == 0.05 and cfg.l_r1 == 10.0 and cfg.l_s == 1e-7
 
 
+def test_eval_phases_reload_args_txt(tmp_path):
+    """Eval/generation phases pick model geometry up from the run's args.txt
+    (the reference dumps args.txt but never reloads it — README.md:61-63
+    makes the user retype --img_resolution); explicitly typed flags win."""
+    from lcgan_tpu.config import Config
+
+    cfg = parse_config(_tiny_args(tmp_path, "train"))
+    cfg.img_resolution = 32
+    cfg.base_nf = 8
+    cfg.make_run_dirs()
+    cfg.dump(os.path.join(cfg.model_name, "args.txt"))
+
+    # bare eval invocation: geometry comes from args.txt, not the defaults
+    cfg_f = parse_config(["--phase", "fid_eval", "--model_name", cfg.model_name])
+    assert cfg_f.phase == "fid_eval"
+    assert cfg_f.img_resolution == 32
+    assert cfg_f.base_nf == 8
+    assert cfg_f.geo_noise_dim == 8  # from _tiny_args via args.txt
+
+    # an explicitly typed flag overrides the reloaded value
+    cfg_n = parse_config(
+        ["--phase", "fake_image_generation", "--model_name", cfg.model_name,
+         "--num_fakes", "7"]
+    )
+    assert cfg_n.num_fakes == 7 and cfg_n.img_resolution == 32
+
+    # the train phase never reloads (a fresh run must honor the command line)
+    cfg_t = parse_config(
+        ["--phase", "train", "--model_name", cfg.model_name, "--epoch", "5"]
+    )
+    assert cfg_t.img_resolution == Config.img_resolution == 256
+
+
 @pytest.mark.slow
 def test_train_then_generate(tiny_run, monkeypatch):
     from lcgan_tpu.config import Config
