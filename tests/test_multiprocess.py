@@ -47,30 +47,46 @@ def test_two_process_dp_matches_single_process_oracle(tmp_path):
             ds / f"{i}.png"
         )
 
-    port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path)],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            # generous: under load (e.g. a concurrent TPU compile) the two
-            # CPU workers can take several× the uncontended ~6 min
-            out, _ = p.communicate(timeout=1500)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+
+    # gloo's context key-exchange hard-caps at ~30s; under heavy machine load
+    # (concurrent compiles on a 1-core box) a worker can blow that window and
+    # die with a transport/coordination timeout that says nothing about the
+    # code under test. Retry ONCE, and only for that failure signature —
+    # anything else fails immediately.
+    _TRANSIENT = ("DEADLINE_EXCEEDED", "Timed out", "timed out", "Connection refused")
+
+    def run_workers():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                # generous: under load (e.g. a concurrent TPU compile) the two
+                # CPU workers can take several× the uncontended ~6 min
+                out, _ = p.communicate(timeout=1500)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    procs, outs = run_workers()
+    if any(p.returncode != 0 for p in procs) and any(
+        sig in out for out in outs for sig in _TRANSIENT
+    ):
+        procs, outs = run_workers()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
