@@ -40,6 +40,26 @@ PRECISION = jax.lax.Precision.HIGHEST
 PACKED_K3 = True
 PACKED_K3_MAX_CO = 32  # pack only when p = 128//Co ≥ 4 (the measured win region)
 PACKED_K3_MIN_RES = 512  # measured win is at huge maps; small maps lose
+# Lanes to target when choosing the pack factor: p = LANE_TARGET//Co (≤ 8).
+# p need not stop at one 128-lane tile — N = p·Co = 256 is just two lane
+# tiles, and the r3 p-sweep measured p=8 > p=4 at c32 (2.0× vs 1.8× fwd+grad
+# at 1024²; tools/packconv_probe). 256 also keeps the (p+2)/3 MAC inflation
+# at ≤ 3.3×, below the measured lane-waste recovery.
+PACKED_K3_LANE_TARGET = 256
+
+
+def _pack_p(co: int, width: int) -> int:
+    """Pack factor for a k=3 conv with ``co`` output channels on a ``width`` map.
+
+    Widest p ≤ 8 with p·co ≈ PACKED_K3_LANE_TARGET lanes that divides the
+    map width; halves until it does (flagship widths are powers of two, so
+    this only fires on exotic shapes). Returns 1 when packing cannot reach
+    two+ pixels per lane tile group.
+    """
+    p = min(8, max(1, PACKED_K3_LANE_TARGET // max(co, 1)))
+    while p > 1 and width % p:
+        p //= 2
+    return p
 
 
 def equalized_scale(fan_in: int, lr_mul: float = 1.0) -> float:
@@ -152,14 +172,14 @@ class EqualizedConv2d(nn.Module):
         w = self.param("weight", _equalized_init(self.lr_mul), (k, k, in_features, self.features))
         c = equalized_scale(in_features * k * k, self.lr_mul)
         pad = k // 2
-        p = 128 // max(self.features, 1)
+        p = _pack_p(self.features, x.shape[2])
         if (
             PACKED_K3
             and k == 3
             and self.stride == 1
             and self.features <= PACKED_K3_MAX_CO
             and x.shape[1] >= PACKED_K3_MIN_RES
-            and x.shape[2] % p == 0
+            and p >= 2
         ):
             y = conv3x3_packed(x.astype(self.dtype), (w * c).astype(self.dtype), p)
         else:

@@ -63,12 +63,16 @@ def test_equalized_conv_matches_torch(rng, stride):
     np.testing.assert_allclose(np.asarray(y), nhwc(ref), rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("c,co,hw", [(32, 32, 16), (5, 16, 8), (32, 32, 4)])
-def test_conv3x3_packed_matches_dilated(rng, c, co, hw):
+@pytest.mark.parametrize("c,co,hw,p", [
+    (32, 32, 16, 4),
+    (5, 16, 8, 8),
+    (32, 32, 4, 4),
+    (32, 32, 16, 8),   # lane-target-256 pack (the r3 production rule at c32)
+    (64, 64, 16, 4),   # c64 pack candidate (p·Co = 256 lanes)
+])
+def test_conv3x3_packed_matches_dilated(rng, c, co, hw, p):
     """Width-packed matmul form == the dilated conv, values and grads."""
     from lcgan_tpu.ops.equalized import conv3x3_packed
-
-    p = 128 // co
     x = jnp.asarray(rng.standard_normal((2, hw, hw, c)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.1, jnp.float32)
 
@@ -172,3 +176,16 @@ def test_mbstd_num_views_equals_separate_calls(rng, views, b):
         axis=0,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+
+
+def test_pack_p_rule():
+    """p = min(8, LANE_TARGET//Co), halved until it divides the map width."""
+    from lcgan_tpu.ops import equalized
+
+    assert equalized._pack_p(32, 1024) == 8    # 256//32, two lane tiles
+    assert equalized._pack_p(64, 512) == 4
+    assert equalized._pack_p(128, 256) == 2
+    assert equalized._pack_p(256, 256) == 1    # cannot pack
+    assert equalized._pack_p(32, 12) == 4      # 12 % 8 != 0 → halve
+    assert equalized._pack_p(32, 10) == 2
+    assert equalized._pack_p(32, 7) == 1       # odd width: no pack divides

@@ -41,6 +41,10 @@ def main():
                          "off = lhs-dilated form)")
     ap.add_argument("--packconv", default=True, action=argparse.BooleanOptionalAction,
                     help="width-packed k=3 conv at tiny channel counts")
+    ap.add_argument("--pack_max_co", type=int, default=None,
+                    help="override PACKED_K3_MAX_CO (e.g. 64 to pack the c64 trunk convs)")
+    ap.add_argument("--pack_lanes", type=int, default=None,
+                    help="override PACKED_K3_LANE_TARGET (128 = the r2 p=128//Co rule)")
     ap.add_argument("--savewarp", default=False, action=argparse.BooleanOptionalAction,
                     help="remat policy saves each G block's modulated-conv outputs")
     ap.add_argument("--savedconv", default=False, action=argparse.BooleanOptionalAction,
@@ -56,6 +60,10 @@ def main():
 
     modulated.UP2_PHASES = args.phases
     equalized.PACKED_K3 = args.packconv
+    if args.pack_max_co is not None:
+        equalized.PACKED_K3_MAX_CO = args.pack_max_co
+    if args.pack_lanes is not None:
+        equalized.PACKED_K3_LANE_TARGET = args.pack_lanes
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/lcgan_jax")
