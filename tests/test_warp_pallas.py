@@ -153,3 +153,66 @@ def test_small_map_dyn_probe_mode_raises():
     grid = identity_like_coordinates(1, 16, 16)
     with pytest.raises(ValueError, match="dyn=2"):
         grid_sample_bicubic_pallas(x, grid, 3, interpret=True, dyn=2)
+
+
+# ---- executed-work meter (dynamic band) -----------------------------------
+
+
+def test_band_fraction_matches_dyn_window_rowwise(rng):
+    """The vectorized _band_fraction must reproduce the kernel's own
+    _dyn_window trip math row by row — it is the mfu executed-work basis."""
+    from lcgan_tpu.ops.warp_pallas import _band_fraction, _dyn_window
+
+    npack, unroll, p_slab, pb = 2, 2, 24, 12
+    rows, tl = 8, 16
+    fy = jnp.asarray(rng.uniform(-3, 40, (rows, tl)), jnp.float32)
+    y0 = -4.0
+    want_trips = [int(_dyn_window(fy[r : r + 1], y0, npack, unroll, p_slab, pb)[1]) for r in range(rows)]
+    frac = float(_band_fraction(fy, y0, npack, unroll, p_slab, pb))
+    np.testing.assert_allclose(frac, np.mean(want_trips) * unroll / pb, rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape,mfs", [SHAPES[0], SHAPES[3], SHAPES[4]])
+def test_with_executed_flops_brackets_static(shape, mfs, rng):
+    """Executed FLOPs: positive, <= the static full-band figure under
+    dyn=True, and EQUAL to it under dyn=False. (At these CPU-sized
+    geometries pack granularity can make the executed fraction ~1 — the
+    genuinely-sub-band case is asserted at flagship geometry in
+    test_flagship_fraction_far_below_band, without running the kernel.)"""
+    from lcgan_tpu.ops import warp_pallas
+
+    x, grid, m = _case(shape, mfs, rng)
+
+    def run(dyn):
+        def f(x_, g_):
+            return jnp.sum(grid_sample_bicubic_pallas(x_, g_, m, True, True, dyn))
+
+        with warp_pallas.flop_meter() as sacc, warp_pallas.executed_flop_meter() as eacc:
+            out = jax.jit(jax.grad(f, argnums=(0, 1)))(x, grid)
+            jax.block_until_ready(out)
+        return eacc.total(), sacc[0]
+
+    exec_dyn, static = run(True)
+    exec_full, static2 = run(False)
+    assert static == static2
+    assert 0 < exec_dyn <= static * (1 + 1e-6)
+    np.testing.assert_allclose(exec_full, static, rtol=1e-6)
+
+
+def test_flagship_fraction_far_below_band(rng):
+    """At flagship geometry (256², fine packs, m=16) a small flow's executed
+    fraction must be FAR below 1 — this is the whole point of the dynamic
+    band, and what the executed meter exists to measure."""
+    from lcgan_tpu.ops import warp_pallas as wp
+
+    h = w = 256
+    c = 512  # fine pack granularity like the deep G blocks
+    m = 16
+    npack, unroll = wp._npack(c), wp._unroll(c)
+    rows, tl, _, _ = wp._tiles(h, w, c, m, 2)
+    pb, p_slab, _ = wp._pack_geom(h, rows, m, npack, unroll)
+    # ±1.5 px flow around identity rows: tap spread ~6 rows vs band 33
+    base = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    fy = base + jnp.asarray(rng.uniform(-1.5, 1.5, (1, h, w)), jnp.float32)
+    frac = float(wp._big_dyn_fraction(fy, rows, tl, m, npack, unroll, p_slab, pb))
+    assert 0 < frac < 0.5, frac
