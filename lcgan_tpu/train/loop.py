@@ -111,13 +111,13 @@ def train(cfg: Config):
 
         if epoch % cfg.show_interval == 0 and epoch > 0:
             if _is_main():
-                # images_per_output=32: the reference's monitor grouping
-                # (worker.py:255 default — 2 groups of 32 dims at the
-                # default geo_noise_dim=64; remainder dims are dropped by
-                # the reference's floor-division loop, preserved here)
+                # images_per_output=geo_noise_dim: the reference's training
+                # loop overrides the worker.py:255 default of 32 with
+                # args.geo_noise_dim at loader.py:72 — ONE group of 64 dims
+                # per modality at defaults, not two groups of 32.
                 monitor_current_result(
                     cfg, trainer, state, epoch=epoch, num_explore=20, w_psi=cfg.w_psi,
-                    images_per_output=min(32, cfg.geo_noise_dim),
+                    images_per_output=cfg.geo_noise_dim,
                 )
             # dist.barrier fence (loader.py:73): without it, non-zero
             # processes race into the next iteration's collective while

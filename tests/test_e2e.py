@@ -166,12 +166,17 @@ def test_monitor_renders_sweep_videos(tiny_run):
     cfg.make_run_dirs()
     trainer = build_trainer(cfg)
     state, _, _ = load_or_init_state(cfg, trainer)
+    # images_per_output=geo_noise_dim mirrors the training loop's call
+    # (reference loader.py:72 overrides the worker.py:255 default of 32):
+    # exactly ONE sweep group per modality, never two half-groups.
     monitor_current_result(
-        cfg, trainer, state, epoch=7, num_explore=2, num_clips=1, images_per_output=8, nrow=4
+        cfg, trainer, state, epoch=7, num_explore=2, num_clips=1,
+        images_per_output=cfg.geo_noise_dim, nrow=4
     )
     samples = os.listdir(os.path.join(str(tiny_run / "run"), "samples"))
     assert any(f.startswith("geometry_7_0") for f in samples)
     assert any(f.startswith("appearance_7_0") for f in samples)
+    assert not any(f.startswith(("geometry_7_1", "appearance_7_1")) for f in samples)
 
 
 @pytest.mark.slow

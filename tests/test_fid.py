@@ -307,6 +307,7 @@ def _randomize_tf_fid(model: tnn.Module, seed: int):
                 m.running_var.copy_(0.5 + torch.rand(m.running_var.shape, generator=g))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("in_size", [299, 256])
 def test_full_inception_parity_vs_torch(tmp_path, in_size):
     """The converted Flax network must reproduce a torch TF-FID forward

@@ -349,3 +349,59 @@ def test_view_batched_step_matches_unbatched(epoch):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6), stats[0], stats[1]
     )
+
+
+@pytest.mark.slow
+def test_resume_is_bit_exact(tmp_path):
+    """Train N → save → restore in a FRESH PROCESS → train M more must be
+    BITWISE identical to an uninterrupted N+M run: params, EMA, both Adam
+    states (incl. count), w-avg stats, and the PRNG key all round-trip
+    through Orbax. This is the claim that beats the reference's lossy
+    resume (worker.py:239-253 drops optimizer + RNG state).
+
+    Epochs 0..7 cover the full schedule period: 4 even+aux, 3 odd, 1 R1.
+    """
+    import subprocess
+    import sys
+
+    from lcgan_tpu.utils.checkpoint import CheckpointManager
+
+    N, M = 4, 4
+    cfg = tiny_cfg(model_name=str(tmp_path / "run"))
+    cfg.make_run_dirs()
+    trainer = Trainer(cfg)
+
+    # uninterrupted N+M oracle
+    oracle = trainer.init_state()
+    for epoch in range(N + M):
+        oracle, _, _ = trainer.train_iteration(oracle, fake_batch(cfg, cfg.batch_size, seed=epoch), epoch)
+
+    # interrupted: N epochs, save, resume in a fresh process
+    state = trainer.init_state()
+    for epoch in range(N):
+        state, _, _ = trainer.train_iteration(state, fake_batch(cfg, cfg.batch_size, seed=epoch), epoch)
+    model_dir = cfg.run_dirs()["model"]
+    CheckpointManager(model_dir).save(state)
+
+    worker = os.path.join(os.path.dirname(__file__), "resume_worker.py")
+    proc = subprocess.run(
+        [sys.executable, worker, cfg.model_name, str(N), str(N + M)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    resumed = CheckpointManager(os.path.join(cfg.model_name, "model_resumed")).restore(
+        trainer.init_state()
+    )
+
+    mismatches = []
+
+    def check(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.tobytes() != b.tobytes():
+            mismatches.append(jax.tree_util.keystr(path))
+
+    jax.tree_util.tree_map_with_path(check, oracle, resumed)
+    assert not mismatches, f"resume not bit-exact in: {mismatches}"

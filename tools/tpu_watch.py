@@ -13,6 +13,12 @@ Usage:
     python -m tools.tpu_watch --cmdfile /tmp/queue.txt [--log /tmp/watch.log]
     # queue.txt: one shell command per line; blank lines and # comments skipped
 
+Queued commands MUST be idempotent (or write attempt-tagged outputs): a
+timed-out attempt is re-run from scratch, so partial side effects of the
+first attempt (rows appended to a results file, half-written JSON) would
+otherwise be duplicated. The in-repo probes satisfy this by rewriting their
+output files whole.
+
 The liveness probe materializes a matmul result — ``jax.devices()`` alone
 can succeed while dispatch hangs (tunnel half-up).
 """
@@ -86,17 +92,31 @@ def main() -> int:
                 log(f"GIVE UP waiting for tunnel (cmd {i}: {cmd})")
                 return 2
             log(f"run [{i}.{attempt}] {cmd}")
+            # own session: on timeout, killpg reaps the WHOLE process group.
+            # Killing only the shell (subprocess.run's behavior) leaves the
+            # actual probe alive holding the TPU, and the next liveness wait
+            # then fights a zombie forever.
+            proc = subprocess.Popen(
+                cmd,
+                shell=True,
+                stdout=logf,
+                stderr=subprocess.STDOUT,
+                start_new_session=True,
+            )
             try:
-                r = subprocess.run(
-                    cmd,
-                    shell=True,
-                    stdout=logf,
-                    stderr=subprocess.STDOUT,
-                    timeout=args.cmd_timeout,
-                )
+                proc.wait(timeout=args.cmd_timeout)
+                r = proc
             except subprocess.TimeoutExpired:
+                import os
+                import signal
+
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                proc.wait()
                 log(f"TIMEOUT [{i}.{attempt}] after {args.cmd_timeout:.0f}s — "
-                    "assuming tunnel drop, re-entering wait state")
+                    "process group killed; assuming tunnel drop, re-entering wait state")
                 continue
             if r.returncode == 0:
                 log(f"ok [{i}] {cmd}")
