@@ -111,9 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_save_g_convs", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="save G blocks' conv outputs so the remat backward skips the conv recompute")
-    p.add_argument("--remat_save_d_convs", default=False,
+    p.add_argument("--remat_save_d_convs", default=True,
                    action=argparse.BooleanOptionalAction,
-                   help="same conv-save policy on the D trunk")
+                   help="same conv-save policy on the D trunk "
+                        "(on-device A/B win, DESIGN.md round-4 notes)")
     p.add_argument("--remat_save_max_res", type=int, default=512,
                    help="largest block output map the conv-save remat policies apply to")
     p.add_argument("--view_batched_steps", default=False,

@@ -100,10 +100,11 @@ class Config:
     # models/discriminator.py). D appears under grad up to 7× per even
     # iteration (3 in the G step + 4 in the D step, worker.py:137-214), so
     # skipping the conv recompute is multiplied; gated per block to input
-    # maps <= remat_save_max_res like the G policy. Default OFF until the
-    # in-step A/B on real hardware proves it (the up-conv phase rewrite won
-    # isolated and lost composed — tools/step_breakdown_probe --savedconv).
-    remat_save_d_convs: bool = False
+    # maps <= remat_save_max_res like the G policy. Default ON: the r4
+    # on-device A/B (tools/step_breakdown_probe @512²/b4, v5e) measured
+    # D grad 63.8→55.1 ms (−13.6%) and R1 grad 124.5→113.7 ms (−8.7%)
+    # with G fwd/grad unchanged (DESIGN.md round-4 notes).
+    remat_save_d_convs: bool = True
     profile_dir: str = ""  # if set, jax.profiler traces are written here
     # jax.distributed.initialize policy: "auto" initializes when a coordinator
     # or Cloud TPU pod environment is detected, "on" forces it (multi-host

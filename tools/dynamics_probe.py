@@ -103,6 +103,22 @@ def main():
     ap.add_argument("--record_every", type=int, default=20)
     ap.add_argument("--out", type=str, default="/tmp/lcgan_dynamics")
     ap.add_argument("--compute_dtype", type=str, default="bfloat16")
+    ap.add_argument(
+        "--flow_every",
+        type=int,
+        default=0,
+        help="record per-block max|flow| + implied dyn-band M-hat vs the "
+        "static bound every N steps (0 = off) — the flow-displacement "
+        "trajectory the in-kernel dynamic band's economics rest on",
+    )
+    ap.add_argument(
+        "--monitor_at",
+        type=int,
+        default=0,
+        help="render one monitor sweep artifact at this step (0 = off): "
+        "proves the EMA generator mid-run, like the reference's "
+        "show_interval monitors (loader.py:70-73)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -154,6 +170,48 @@ def main():
         dist = float(jnp.sqrt(jax.tree.reduce(lambda a, b: a + b, sq)))
         return dist / max(float(jnp.sqrt(jax.tree.reduce(lambda a, b: a + b, nrm))), 1e-9)
 
+    # per-block flow-displacement capture (same technique as
+    # tools/flow_window_probe.py, but along the TRAINING trajectory): tanh'd
+    # smoothed flows from the EMA generator, reported as max|flow| and the
+    # implied adaptive-band displacement M-hat vs the static worst-case M.
+    flow_capture = None
+    if args.flow_every > 0:
+        from lcgan_tpu.ops.filters import box_filter_3x3
+        from lcgan_tpu.ops.grid_sample import max_warp_displacement
+
+        gen = trainer.generator
+        flow_sizes = {}  # filled at trace time from the real block shapes
+
+        @jax.jit
+        def _capture(params, stats, z1, z2):
+            _, inter = gen.apply(
+                {"params": params, "stats": stats},
+                z1,
+                z2,
+                1.0,
+                mutable=["intermediates"],
+                capture_intermediates=lambda mdl, name: mdl.name == "flow_layer",
+            )
+            out = {}
+            for bi in range(cfg.num_blocks):
+                raw = jax.tree.leaves(inter["intermediates"][f"block_{bi}"]["flow_layer"])[0]
+                flow_sizes[bi] = raw.shape[1]
+                out[bi] = jnp.max(jnp.abs(jnp.tanh(box_filter_3x3(raw.astype(jnp.float32)))))
+            return out
+
+        zf1 = jnp.asarray(np.random.default_rng(7).standard_normal((8, cfg.geo_noise_dim)), jnp.float32)
+        zf2 = jnp.asarray(np.random.default_rng(8).standard_normal((8, cfg.app_noise_dim)), jnp.float32)
+
+        def flow_capture(state):
+            amax = {k: float(v) for k, v in _capture(state.ema_params, state.ema_stats, zf1, zf2).items()}
+            rec = {}
+            for bi, a in amax.items():
+                size = flow_sizes[bi]
+                m_static = max_warp_displacement(size, cfg.max_flow_scale)
+                m_hat = int(math.ceil(0.5 + cfg.max_flow_scale * size / 2 * a + 2.0))
+                rec[str(bi)] = {"size": size, "amax": round(a, 4), "m_hat": m_hat, "m_static": m_static}
+            return rec
+
     curves = []
     t0 = time.time()
     path = os.path.join(args.out, "curves.jsonl")
@@ -166,6 +224,18 @@ def main():
                 "appearance_change": jnp.asarray(app[idx]),
             }
             state, g_loss, d_loss = trainer.train_iteration(state, batch, step)
+            if args.monitor_at and step == args.monitor_at:
+                try:
+                    from lcgan_tpu.gen.artifacts import monitor_current_result
+
+                    cfg.make_run_dirs()
+                    monitor_current_result(
+                        cfg, trainer, state, epoch=step, num_explore=4, num_clips=1,
+                        images_per_output=min(cfg.geo_noise_dim, 16), nrow=4,
+                    )
+                    print(f"monitor artifact written at step {step}", flush=True)
+                except Exception as e:  # keep the run alive; artifact is a rider
+                    print(f"monitor artifact FAILED: {type(e).__name__}: {e}", flush=True)
             # the off-by-one records land on odd steps, half of them R1
             # iterations (step % 8 == 1) — without them no R1-iter d_loss
             # would ever be sampled at even record_every
@@ -181,6 +251,12 @@ def main():
                     "ema_dist": ema_dist(state),
                     "elapsed": round(time.time() - t0, 1),
                 }
+                # flow_every should be a multiple of record_every so these
+                # land on record steps; the final record always carries one
+                if flow_capture is not None and (
+                    step % args.flow_every == 0 or step == args.steps - 1
+                ):
+                    rec["flow"] = flow_capture(state)
                 curves.append(rec)
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
