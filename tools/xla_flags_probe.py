@@ -14,6 +14,12 @@ Candidate flags (v5e, single chip):
     only touch documented, stable flags.
 
 Usage: python -m tools.xla_flags_probe [--res 256] [--batch 8] [--iters 12]
+
+CAVEAT (measured r4): under the experimental axon tunnel the LOCAL client
+links a CPU-only XLA whose flag parser hard-crashes on any --xla_tpu_*
+flag, while the real TPU compilation happens server-side — so the TPU
+combos report FAILED there and only the baseline measures. Run the sweep
+on a host with a native TPU client.
 """
 
 from __future__ import annotations
