@@ -49,11 +49,15 @@ PEAK_FLOPS_PER_CHIP = 197e12
 # (the 80G-class target hardware takes the reference's b4). Deadlines are
 # generous for cold compiles (~20-40s each × 3 variants) but hard: a wedged
 # tunnel costs one recipe, never the round's record.
-RECIPES = [(256, 8, 1500), (512, 4, 1000), (1024, 2, 1000)]
+RECIPES = [(256, 8, 1500), (512, 4, 1100), (1024, 2, 1500)]
 
 # Overall budget: skip remaining recipes (recording why) rather than let the
-# driver's outer timeout erase everything already measured.
-TOTAL_BUDGET_S = float(os.environ.get("LCGAN_BENCH_BUDGET", 3300))
+# driver's outer timeout erase everything already measured. Sized so a warm
+# 256+512 (with their MFU passes) still leaves 1024 a full attempt — the
+# axon tunnel spends ~700s just loading 1024's cached executables. If the
+# driver's outer timeout is tighter, the per-recipe cumulative emit already
+# banked whatever finished.
+TOTAL_BUDGET_S = float(os.environ.get("LCGAN_BENCH_BUDGET", 4200))
 
 
 def _enable_cache():
@@ -65,6 +69,70 @@ def _enable_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except RuntimeError:
         pass
+
+
+def _exec_ratio(trainer, state, cfg) -> float:
+    """Executed/static warp matmul-work ratio under the dynamic band.
+
+    One PLAIN generator forward captures every block's raw flow map
+    (capture_intermediates, like tools/dynamics_probe); the flows are then
+    rebuilt exactly as SynthesisBlock does (tanh∘box_filter, scaled
+    identity-plus-flow grid) and priced EAGERLY with the kernels' own
+    window math (warp_pallas._call_flops_estimate) — no jit around the
+    estimate, so no custom_vjp/remat trace scopes are crossed (axon also
+    has no host callbacks; both in-step designs failed, r4). Each
+    Pallas-path block is priced as forward + backward kernels; the ratio
+    is invariant to how many times the schedule replays the generator.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lcgan_tpu.ops import warp_pallas
+    from lcgan_tpu.ops.filters import box_filter_3x3
+    from lcgan_tpu.ops.grid_sample import identity_like_coordinates, max_warp_displacement
+
+    gen = trainer.generator
+
+    @jax.jit
+    def capture(params, stats, z1, z2):
+        _, inter = gen.apply(
+            {"params": params, "stats": stats},
+            z1,
+            z2,
+            1.0,
+            mutable=["intermediates"],
+            capture_intermediates=lambda mdl, name: mdl.name == "flow_layer",
+        )
+        return inter["intermediates"]
+
+    key = jax.random.PRNGKey(0)
+    z1 = jax.random.normal(key, (cfg.batch_size, cfg.geo_noise_dim))
+    z2 = jax.random.normal(key, (cfg.batch_size, cfg.app_noise_dim))
+    inter = capture(state.g_params, state.g_stats, z1, z2)
+
+    nb = cfg.num_blocks
+    base_nf = cfg.resolved_base_nf
+    itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+    prev = warp_pallas._exec_collect
+    warp_pallas._exec_collect = (ex, st) = ([], [])
+    try:
+        for bi in range(nb):
+            raw = jax.tree.leaves(inter[f"block_{bi}"]["flow_layer"])[0]
+            flow = jnp.tanh(box_filter_3x3(raw.astype(jnp.float32)))
+            b, h, w, _ = flow.shape
+            if h < cfg.warp_pallas_min_res:
+                continue  # XLA banded path — not in the Pallas flop meter
+            grid = identity_like_coordinates(b, h, w) + flow * cfg.max_flow_scale
+            c = min(base_nf * 2 ** (nb - bi - 1), cfg.max_nf)
+            m = max_warp_displacement(h, cfg.max_flow_scale)
+            warp_pallas._call_flops_estimate((b, h, w, c), itemsize, grid, int(m), True)
+    finally:
+        warp_pallas._exec_collect = prev
+    static = float(sum(st))
+    executed = float(sum(float(e) for e in ex))
+    if static <= 0 or executed <= 0:
+        raise ValueError("no Pallas-path warp blocks at this resolution")
+    return min(executed / static, 1.0)
 
 
 def measure(res: int, per_chip_batch: int, n_chips: int) -> dict:
@@ -122,7 +190,10 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> dict:
     # timing loop just compiled. Time-gated anyway: a recipe that already
     # burned its budget ships without mfu rather than risking the deadline.
     mfu = mfu_useful = None
-    mfu_time_left = time.perf_counter() - t_start < float(os.environ.get("LCGAN_MFU_SKIP_AFTER", 600))
+    # 900s: even with a warm persistent cache the axon tunnel re-loads the
+    # three executables slowly; the recipe deadline (1500s at 256²) still
+    # leaves ~10 min of guard band after the MFU pass.
+    mfu_time_left = time.perf_counter() - t_start < float(os.environ.get("LCGAN_MFU_SKIP_AFTER", 900))
     try:
         from lcgan_tpu.ops import warp_pallas
 
@@ -154,24 +225,17 @@ def measure(res: int, per_chip_batch: int, n_chips: int) -> dict:
 
         # ---- executed-work correction (VERDICT r3 weak #3): under the
         # default dynamic band the kernels execute a data-dependent subset
-        # of the static band, so the static `mfu` is an upper bound. Run ONE
-        # even step with the executed meter (tap-exact window math on the
-        # same flow coords, host callbacks) and scale every variant's warp
-        # FLOPs by the measured executed/static ratio — the flows (hence
-        # per-site fractions) are shared across variants, so the ratio
-        # carries to odd/r1 within a few percent. Costs one real compile
-        # (callbacks change the HLO): time-gated like the fallback above.
+        # of the static band, so the static `mfu` is an upper bound. One
+        # plain generator forward captures the flows and the window math
+        # prices them eagerly (_exec_ratio); every variant's warp FLOPs
+        # scale by the measured executed/static ratio — the flows (hence
+        # per-site fractions) are shared across variants and schedule
+        # replays, so the ratio carries within a few percent.
         if mfu_time_left:
             ratio = None
             try:
-                with warp_pallas.flop_meter() as sacc, warp_pallas.executed_flop_meter() as eacc:
-                    out2 = jax.jit(trainer.step_raw(8))(state, batch)
-                    jax.block_until_ready(out2)
-                if hasattr(jax, "effects_barrier"):
-                    jax.effects_barrier()
-                if sacc[0] > 0 and eacc.total() > 0:
-                    ratio = min(eacc.total() / sacc[0], 1.0)
-            except Exception:  # pragma: no cover - callback support on axon
+                ratio = _exec_ratio(trainer, state, cfg)
+            except Exception:  # pragma: no cover - capture/backends
                 ratio = None
             if ratio is not None:
                 warp_avg = (4 * warp_flops["even"] + 3 * warp_flops["odd"] + warp_flops["r1"]) / 8.0

@@ -105,46 +105,81 @@ def flop_meter():
 
 # ---- executed-work meter (dynamic band) -------------------------------------
 # The static _note_flops figure prices the FULL band (pb packs/row); under
-# dyn=True the kernels execute a data-dependent subset. The wrappers hold the
-# same coords the kernels derive their windows from, so the executed pack
-# count is computable EXACTLY in plain XLA with the same integer math as
-# _dyn_window — no kernel changes, no debug DMA. Dynamic contributions reach
-# the host through jax.debug.callback at EXECUTION time (traced scalars
-# cannot escape the custom_vjp fwd/bwd trace scopes); static-band sites
-# accumulate at trace time like _note_flops. bench.py uses one fresh-jitted
-# single run per variant to turn `mfu` from a static upper bound into a
-# measurement (VERDICT r3 weak #3).
+# dyn=True the kernels execute a data-dependent subset. The executed pack
+# count is computable with the same integer math as _dyn_window from the
+# GRID alone, so the meter estimates it in the OUTER trace scope — in the
+# public wrapper, BEFORE the custom_vjp boundary (traced scalars cannot
+# escape the custom_vjp fwd/bwd traces, and the axon PJRT backend has no
+# host callbacks at all, so both in-scope designs are ruled out; measured
+# r4). `with_executed_flops` wraps a step so it additionally returns
+# (executed, static) sums over every warp call, each call priced as
+# fwd + backward kernels; bench.py divides them into an executed/static
+# RATIO and scales the flop_meter total. The ratio is insensitive to the
+# one approximation made — calls whose backward is DCE'd (e.g. G fakes in
+# the D step) are still priced with a backward, but their window fraction
+# matches everyone else's, so the weighted mean barely moves (the gate on
+# claiming ±10%).
 _exec_collect = None
 
 
-class _ExecAccum:
-    """[trace-time static part, run-time dynamic part] with a total()."""
+def _call_flops_estimate(x_shape, itemsize: int, grid, m: int, dyn) -> None:
+    """Append (executed, static) matmul-FLOP scalars for ONE warp call
+    (forward + backward kernels) to the active meter, from outer scope."""
+    b, h, w, c = x_shape
+    fx, fy = _coords(grid, h, w)
+    del fx
+    ex, st = [], 0.0
 
-    def __init__(self):
-        self.static_part = 0.0  # sites that always sweep their full band
-        self.dyn_part = 0.0  # callback-accumulated executed work
-
-    def _add_dyn(self, v):
-        self.dyn_part += float(v)
-
-    def total(self) -> float:
-        return self.static_part + self.dyn_part
-
-
-def _note_executed(static: int, fraction):
-    """Record one call site's executed matmul FLOPs.
-
-    ``fraction`` is the mean executed-band fraction (a traced scalar) for
-    dyn sites, or None for sites that always sweep their full static band
-    (executed == static, known at trace time).
-    """
-    acc = _exec_collect
-    if acc is None:
-        return
-    if fraction is None:
-        acc.static_part += float(static)
+    if _use_small(h, w, c, m, itemsize):
+        groups = _small_groups(h, w, c, m)
+        cg = c // groups
+        bb = groups * b
+        npack, unroll = _npack(cg), _unroll(cg)
+        nr, lanes, t_tiles, s_dma, pb, hp = _small_geom(h, w, cg, m)
+        fyr = jnp.broadcast_to(fy[None], (groups,) + fy.shape).reshape(bb, t_tiles, lanes)
+        frac = (
+            _band_fraction(fyr, -float(m), npack, unroll, hp // npack, pb)
+            if dyn is True
+            else 1.0
+        )
+        # fwd (1·lanes) + dgrid (2·lanes) + dx (1·lanes) per pack — all
+        # three kernels share the per-tile window
+        static = bb * t_tiles * pb * 2 * npack * cg * s_dma * 4 * lanes
+        st += static
+        ex.append(float(static) * frac)
     else:
-        jax.debug.callback(acc._add_dyn, jnp.float32(float(static)) * fraction)
+        npack, unroll = _npack(c), _unroll(c)
+        rows, tl, s_dma, wpad = _tiles(h, w, c, m, itemsize)
+        pb, p_slab, _ = _pack_geom(h, rows, m, npack, unroll)
+        frac = (
+            _big_dyn_fraction(fy, rows, tl, m, npack, unroll, p_slab, pb)
+            if dyn is True
+            else 1.0
+        )
+        # fwd (1·tl) + dgrid (2·tl) share geometry and window
+        static = b * h * (w // tl) * pb * 2 * npack * c * s_dma * 3 * tl
+        st += static
+        ex.append(float(static) * frac)
+        if c >= 128:
+            # gather-dx sweeps its full NWAY-padded band — executed == static
+            band_r = 2 * m + 1 + _overshoot(m)
+            static = b * h * (w // tl) * band_r * 2 * c * s_dma * tl
+            st += static
+            ex.append(1.0 * static)
+        else:
+            rows_dx = _pick_rows_dx(h, w, c, m, itemsize)
+            pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack, unroll)
+            frac_dx = (
+                _big_dyn_fraction(fy, rows_dx, tl, m, npack, unroll, p_dx, pb_dx)
+                if dyn is True
+                else 1.0
+            )
+            static = b * h * (w // tl) * pb_dx * 2 * npack * c * tl * s_dma
+            st += static
+            ex.append(float(static) * frac_dx)
+
+    _exec_collect[0].append(sum(ex[1:], ex[0]))
+    _exec_collect[1].append(st)
 
 
 def _big_dyn_fraction(fy, rows: int, tl: int, m: int, npack: int, unroll: int, p_slab: int, pb: int):
@@ -173,32 +208,37 @@ def _band_fraction(fy_rows, y0, npack: int, unroll: int, p_slab: int, pb: int):
     return jnp.mean(trips.astype(jnp.float32)) * (unroll / pb)
 
 
-@contextlib.contextmanager
-def executed_flop_meter():
-    """Host accumulator of EXECUTED warp matmul FLOPs (dyn band measured).
+def with_executed_flops(fn):
+    """Wrap ``fn`` so it ALSO returns (executed, static) warp matmul FLOPs.
 
-    Usage — trace AND run exactly once inside the context, then read:
-
-        with executed_flop_meter() as acc:
-            out = jax.jit(step_fn)(state, batch)   # fresh jit: traces here
-            jax.block_until_ready(out)
-        executed = acc.total()
-
-    Static-band sites (gather-dx) contribute at trace time; dynamic-band
-    sites contribute via jax.debug.callback when the program EXECUTES, with
-    the tap-exact window fraction evaluated on the same flow coords the
-    kernel derives its fori_loop trips from. Running the traced program more
-    than once inside the context double-counts the dynamic part; tracing
-    without running undercounts it. Keep it out of timed loops (the window
-    math is negligible; the extra compile and callback sync are not).
+    ``wrapped(*a, **kw) -> (fn(*a, **kw), executed)`` plus
+    ``wrapped.static_flops`` (host float, set at trace time), each summed
+    over every warp call in the trace, with each
+    call priced as forward + backward kernels with the dynamic band's
+    tap-exact window fraction evaluated on the same flow coords the kernels
+    derive their fori_loop trips from (static-band gather-dx at face
+    value). bench.py runs one fresh jit of the wrapped step and scales the
+    flop_meter total by executed/static. Keep it out of timed loops: the
+    window math is negligible, the extra compile is not.
     """
-    global _exec_collect
-    prev = _exec_collect
-    _exec_collect = acc = _ExecAccum()
-    try:
-        yield acc
-    finally:
-        _exec_collect = prev
+
+    def wrapped(*args, **kwargs):
+        global _exec_collect
+        prev = _exec_collect
+        _exec_collect = (ex, st) = ([], [])
+        try:
+            out = fn(*args, **kwargs)
+        finally:
+            _exec_collect = prev
+        executed = sum(ex[1:], ex[0]) if ex else jnp.float32(0.0)
+        # the static total is pure host arithmetic — expose it as an
+        # attribute (set at trace time) instead of a jit output, which
+        # would round it through fp32
+        wrapped.static_flops = float(sum(st))
+        return out, executed
+
+    wrapped.static_flops = 0.0
+    return wrapped
 
 _A = -0.75  # torch's cubic convolution constant (UpSample.h)
 _FAR = 1e9  # fx/fy pad value; |t| ≥ 2 ⇒ K(t) = 0, so padded positions vanish
@@ -621,18 +661,10 @@ def _fwd_small_call(x, grid, m: int, interpret: bool, note: bool = True, dyn: bo
     fx, fy = _coords(grid, h, w)
     npack = _npack(c)
     nr, lanes, t_tiles, s_dma, pb, hp = _small_geom(h, w, c, m)
+    if note:
+        _note_flops(b * t_tiles * pb * 2 * npack * c * s_dma * lanes, 32 * b * h * w * c)
     xp = _small_pack(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, s_dma, hp, npack)
     fxr, fyr = _small_tile_coords(fx, fy, b, t_tiles, lanes)
-    if note:
-        static = b * t_tiles * pb * 2 * npack * c * s_dma * lanes
-        _note_flops(static, 32 * b * h * w * c)
-        if _exec_collect is not None:
-            # small kernels window per TILE (one band for the tile's nr
-            # packed rows): reduce fyr over the lane axis, slab row 0 at −m
-            _note_executed(
-                static,
-                _band_fraction(fyr, -float(m), npack, _unroll(c), hp // npack, pb) if dyn is True else None,
-            )
 
     out = pl.pallas_call(
         functools.partial(
@@ -677,18 +709,13 @@ def _bwd_small_call(x, grid, g, m: int, interpret: bool, note: bool = True, dyn:
     x_dtype = x.dtype
     npack = _npack(c)
     nr, lanes, t_tiles, s_dma, pb, hp = _small_geom(h, w, c, m)
-    fx, fy = _coords(grid, h, w)
-    fxr, fyr = _small_tile_coords(fx, fy, b, t_tiles, lanes)
     # dgrid: (npack·C, S) @ (S, 2·lanes) per pack; dx: (npack·C, lanes) @ (lanes, S)
     if note:
-        static = b * t_tiles * pb * 2 * npack * c * s_dma * 3 * lanes
-        _note_flops(static, 96 * b * h * w * c)
-        if _exec_collect is not None:
-            # both small backward kernels use the same per-tile window
-            _note_executed(
-                static,
-                _band_fraction(fyr, -float(m), npack, _unroll(c), hp // npack, pb) if dyn is True else None,
-            )
+        _note_flops(
+            b * t_tiles * pb * 2 * npack * c * s_dma * 3 * lanes, 96 * b * h * w * c
+        )
+    fx, fy = _coords(grid, h, w)
+    fxr, fyr = _small_tile_coords(fx, fy, b, t_tiles, lanes)
     xp = _small_pack(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, s_dma, hp, npack)
     # cotangent packed like the output layout: (B, T, C, lanes)
     g_p = g.astype(x_dtype).reshape(b, t_tiles, nr, w, c)
@@ -1051,10 +1078,7 @@ def _fwd_call(x, grid, m: int, interpret: bool, note: bool = True, dyn: bool = T
         raise ValueError(f"W={w} must be a multiple of the column tile ({tl})")
     pb, p_slab, hp = _pack_geom(h, rows, m, npack, _unroll(c))
     if note:
-        static = b * h * (w // tl) * pb * 2 * npack * c * s_dma * tl
-        _note_flops(static, 32 * b * h * w * c)
-        if _exec_collect is not None:
-            _note_executed(static, _big_dyn_fraction(fy, rows, tl, m, npack, _unroll(c), p_slab, pb) if dyn is True else None)
+        _note_flops(b * h * (w // tl) * pb * 2 * npack * c * s_dma * tl, 32 * b * h * w * c)
     xp = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, wpad, npack, hp)
 
     out = pl.pallas_call(
@@ -1079,7 +1103,7 @@ def _fwd_call(x, grid, m: int, interpret: bool, note: bool = True, dyn: bool = T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def grid_sample_bicubic_pallas(
+def _grid_sample_bicubic_pallas_vjp(
     x: jax.Array, grid: jax.Array, max_disp: int, interpret: bool = False, note: bool = True,
     dyn: bool = True,
 ) -> jax.Array:
@@ -1121,13 +1145,9 @@ def _vjp_bwd(max_disp, interpret, note, dyn, res, g):
     pb, p_slab, hp = _pack_geom(h, rows, m, npack, _unroll(c))
     xp = _packed_input(jnp.transpose(x, (0, 1, 3, 2)), h, w, m, wpad, npack, hp)
     if note:
-        static_dgrid = b * h * (w // tl) * pb * 2 * npack * c * s_dma * 2 * tl
-        _note_flops(static_dgrid, 64 * b * h * w * c)
-        if _exec_collect is not None:
-            _note_executed(
-                static_dgrid,
-                _big_dyn_fraction(fy, rows, tl, m, npack, _unroll(c), p_slab, pb) if dyn is True else None,
-            )
+        _note_flops(
+            b * h * (w // tl) * pb * 2 * npack * c * s_dma * 2 * tl, 64 * b * h * w * c
+        )
 
     # ---- d/dgrid: forward-style sweep with K' ----
     dfx, dfy = pl.pallas_call(
@@ -1168,10 +1188,7 @@ def _vjp_bwd(max_disp, interpret, note, dyn, res, g):
         srows = rows_dx + 2 * m + _overshoot(m)
         band_r = 2 * m + 1 + _overshoot(m)
         if note:
-            static_gdx = b * h * (w // tl) * band_r * 2 * c * s_dma * tl
-            _note_flops(static_gdx, 32 * b * h * w * c)
-            if _exec_collect is not None:
-                _note_executed(static_gdx, None)  # gather-dx sweeps its full NWAY band
+            _note_flops(b * h * (w // tl) * band_r * 2 * c * s_dma * tl, 32 * b * h * w * c)
         gp = jnp.pad(g_t, ((0, 0), (m, m + _overshoot(m)), (0, 0), (m, wpad - w - m)))
         # 4D with a singleton sublane dim so the row dim stays a freely-sliceable
         # major axis; pad coords with ±1e9 (exact zero weight via compact support)
@@ -1213,13 +1230,7 @@ def _vjp_bwd(max_disp, interpret, note, dyn, res, g):
         pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack, _unroll(c))
         nrb, nxt = h // rows_dx, w // tl
         if note:
-            static_sdx = b * h * nxt * pb_dx * 2 * npack * c * tl * s_dma
-            _note_flops(static_sdx, 32 * b * h * w * c)
-            if _exec_collect is not None:
-                _note_executed(
-                    static_sdx,
-                    _big_dyn_fraction(fy, rows_dx, tl, m, npack, _unroll(c), p_dx, pb_dx) if dyn is True else None,
-                )
+            _note_flops(b * h * nxt * pb_dx * 2 * npack * c * tl * s_dma, 32 * b * h * w * c)
         nc = npack * c
         slabs = pl.pallas_call(
             functools.partial(
@@ -1250,7 +1261,20 @@ def _vjp_bwd(max_disp, interpret, note, dyn, res, g):
     return dx, dgrid
 
 
-grid_sample_bicubic_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+_grid_sample_bicubic_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def grid_sample_bicubic_pallas(
+    x: jax.Array, grid: jax.Array, max_disp: int, interpret: bool = False, note: bool = True,
+    dyn: bool = True,
+) -> jax.Array:
+    """Public entry: the custom-VJP kernel call, plus (when a
+    `with_executed_flops` wrap is active) the executed-work estimate for
+    this call — computed HERE, in the caller's trace scope, because traced
+    scalars cannot escape the custom_vjp fwd/bwd traces."""
+    if _exec_collect is not None and note:
+        _call_flops_estimate(x.shape, jnp.dtype(x.dtype).itemsize, grid, int(max_disp), dyn)
+    return _grid_sample_bicubic_pallas_vjp(x, grid, int(max_disp), interpret, note, dyn)
 
 
 # --------------------------------------------------------------------------

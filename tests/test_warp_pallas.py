@@ -187,10 +187,13 @@ def test_with_executed_flops_brackets_static(shape, mfs, rng):
         def f(x_, g_):
             return jnp.sum(grid_sample_bicubic_pallas(x_, g_, m, True, True, dyn))
 
-        with warp_pallas.flop_meter() as sacc, warp_pallas.executed_flop_meter() as eacc:
-            out = jax.jit(jax.grad(f, argnums=(0, 1)))(x, grid)
-            jax.block_until_ready(out)
-        return eacc.total(), sacc[0]
+        wrapped = warp_pallas.with_executed_flops(jax.grad(f, argnums=(0, 1)))
+        with warp_pallas.flop_meter() as sacc:
+            _, executed = jax.jit(wrapped)(x, grid)
+        # under full grad every bwd kernel traces, so the outer-scope static
+        # estimate must equal the flop_meter's per-trace static count
+        assert wrapped.static_flops == sacc[0], (wrapped.static_flops, sacc[0])
+        return float(executed), wrapped.static_flops
 
     exec_dyn, static = run(True)
     exec_full, static2 = run(False)
