@@ -220,6 +220,13 @@ def with_executed_flops(fn):
     value). bench.py runs one fresh jit of the wrapped step and scales the
     flop_meter total by executed/static. Keep it out of timed loops: the
     window math is negligible, the extra compile is not.
+
+    SINGLE-TRACE CONTRACT: ``wrapped.static_flops`` is set at TRACE time
+    only. If the jitted ``wrapped`` is called again without retracing (jit
+    cache hit), the traced ``executed`` output is recomputed but the
+    attribute keeps the prior trace's value — pair each reading of
+    ``static_flops`` with a fresh jit (or a first call), never a cached
+    replay.
     """
 
     def wrapped(*args, **kwargs):
