@@ -333,9 +333,11 @@ def test_full_inception_parity_vs_torch(tmp_path, in_size):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fid_evaluate_under_mesh(tmp_path):
     """VERDICT weak #7: fid under a device mesh — generate runs with
-    replicated state on all 8 fake devices and the FID value is finite."""
+    replicated state on all 8 fake devices and the FID value is finite.
+    slow: compiles Inception + the sharded generate path (~1 min 1-core)."""
     from PIL import Image
 
     from lcgan_tpu.config import Config

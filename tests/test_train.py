@@ -263,7 +263,9 @@ def test_data_parallel_step_equals_meshless_reference(epoch):
     # — at the default eps a noise-level gradient element flips sign and moves
     # the param by a full ±lr, which would test fp32 summation-order noise, not
     # the mesh wiring. The damped eps keeps updates proportional to gradients.
-    cfg = tiny_cfg(batch_size=16, adam_eps=1e-3)
+    # img_resolution=8 (1 block): mesh wiring is depth-independent, and the
+    # oracle+step compiles dominate the fast lane at 2 blocks.
+    cfg = tiny_cfg(batch_size=16, adam_eps=1e-3, img_resolution=8)
     mesh = make_mesh(num_devices=8)
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state()
@@ -308,7 +310,9 @@ def test_data_parallel_step_equals_meshless_reference(epoch):
 def test_train_iteration_accepts_numpy_host_batch():
     """The pipeline hands numpy host arrays; the mesh path must assemble them
     into a global sharded array (make_array_from_process_local_data)."""
-    cfg = tiny_cfg(batch_size=16)
+    # same cfg/epoch as test_data_parallel_step_equals_meshless_reference[1]
+    # so the step's HLO is a persistent-cache hit, not a fresh compile
+    cfg = tiny_cfg(batch_size=16, adam_eps=1e-3, img_resolution=8)
     trainer = Trainer(cfg, mesh=make_mesh(num_devices=8))
     state = trainer.init_state()
     rng = np.random.default_rng(0)
@@ -319,14 +323,20 @@ def test_train_iteration_accepts_numpy_host_batch():
     assert len(new_state.g_params["const"].sharding.device_set) == 8
 
 
-@pytest.mark.parametrize("epoch", [0, 1, 3])  # even+aux, odd+r1, odd plain
+# even+aux fast; odd+r1 / odd plain are slow-lane (default-off feature,
+# two full trainer compiles per case dominate the fast lane's budget)
+@pytest.mark.parametrize(
+    "epoch",
+    [0, pytest.param(1, marks=pytest.mark.slow), pytest.param(3, marks=pytest.mark.slow)],
+)
 def test_view_batched_step_matches_unbatched(epoch):
     """view_batched_steps fuses the per-view G/D applications into single
     larger-batch calls (steps.py); per-view mbstd and sequential w-avg lerps
     make it numerically equivalent to the reference's separate calls."""
     states, stats = [], []
     for flag in (False, True):
-        cfg = tiny_cfg(adam_eps=1e-3, view_batched_steps=flag)
+        # 1 block: the batched-view rewrite is per-call, not per-depth
+        cfg = tiny_cfg(adam_eps=1e-3, view_batched_steps=flag, img_resolution=8)
         trainer = Trainer(cfg, mesh=None)
         state = trainer.init_state()
         batch = fake_batch(cfg, cfg.batch_size)

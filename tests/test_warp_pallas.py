@@ -64,16 +64,29 @@ def test_grads_match_banded(shape, mfs, rng):
     np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), atol=2e-2)
 
 
-@pytest.mark.parametrize("scale", [0.0, 0.2, 1.0])
-@pytest.mark.parametrize(
-    "shape,mfs",
-    [
-        ((1, 16, 256, 128), 0.05),  # general, gather-dx
-        ((1, 16, 256, 16), 0.05),  # general, scatter-dx
-        ((2, 32, 64, 16), 0.05),  # small-map kernels
-        ((1, 16, 16, 32), 0.1),  # small-map kernels, single tile
-    ],
-)
+# General kernels (both dx paths) at all three flow regimes — identity grids
+# (smallest windows), typical, and near-bound (windows ≈ full band). The
+# small-map kernels keep the typical regime in the fast lane; their edge
+# regimes are slow-lane (each case is ~15-25s of interpret-mode Pallas on a
+# single core, and the window math under test is shared with the general
+# kernels' cases).
+_DYN_CASES = [
+    ((1, 16, 256, 128), 0.05, 0.0),  # general, gather-dx
+    ((1, 16, 256, 128), 0.05, 0.2),
+    ((1, 16, 256, 128), 0.05, 1.0),
+    ((1, 16, 256, 16), 0.05, 0.0),  # general, scatter-dx
+    ((1, 16, 256, 16), 0.05, 0.2),
+    ((1, 16, 256, 16), 0.05, 1.0),
+    ((2, 32, 64, 16), 0.05, 0.2),  # small-map kernels
+    pytest.param((2, 32, 64, 16), 0.05, 0.0, marks=pytest.mark.slow),
+    pytest.param((2, 32, 64, 16), 0.05, 1.0, marks=pytest.mark.slow),
+    ((1, 16, 16, 32), 0.1, 0.2),  # small-map kernels, single tile
+    pytest.param((1, 16, 16, 32), 0.1, 0.0, marks=pytest.mark.slow),
+    pytest.param((1, 16, 16, 32), 0.1, 1.0, marks=pytest.mark.slow),
+]
+
+
+@pytest.mark.parametrize("shape,mfs,scale", _DYN_CASES)
 def test_dynamic_band_matches_static_and_oracle(shape, mfs, scale, rng):
     """The in-kernel tap-exact band (_dyn_window) must match the static
     full-band kernel to fp32 reassociation tolerance (window starts regroup
