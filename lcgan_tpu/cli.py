@@ -115,7 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
                    action=argparse.BooleanOptionalAction,
                    help="same conv-save policy on the D trunk "
                         "(on-device A/B win, DESIGN.md round-4 notes)")
-    p.add_argument("--remat_save_max_res", type=int, default=512,
+    p.add_argument("--remat_save_max_res", type=int, default=1024,
                    help="largest block output map the conv-save remat policies apply to")
     p.add_argument("--view_batched_steps", default=False,
                    action=argparse.BooleanOptionalAction,

@@ -92,10 +92,14 @@ class Config:
     # conv forwards from the recompute — every residual downstream of a conv
     # rebuilds with cheap elementwise work from the saved result (see
     # models/generator.py). Costs ~2 block-sized tensors per block of HBM.
-    # Only blocks with output maps <= remat_save_max_res use the policy —
-    # on the 1024² top block it blows up XLA's compile memory.
+    # Only blocks with output maps <= remat_save_max_res use the policy.
+    # Default 1024 = every flagship block: the r4 step-breakdown A/B measured
+    # −6% D grad/R1 at 1024² from raising 512→1024 with G unchanged, and the
+    # r5 full-step memory check PASSED at 1024²/b2 on a 16G v5e (10 warm +
+    # 8 timed full iterations, all three variants, 1.97 imgs/sec — above the
+    # 1.83 ledger; the r3 compile-blowup fear did not reproduce, r4 notes).
     remat_save_g_convs: bool = True
-    remat_save_max_res: int = 512
+    remat_save_max_res: int = 1024
     # Same policy for the D trunk ("d_conv_out" on each block's two convs,
     # models/discriminator.py). D appears under grad up to 7× per even
     # iteration (3 in the G step + 4 in the D step, worker.py:137-214), so

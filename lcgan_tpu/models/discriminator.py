@@ -110,7 +110,7 @@ class Discriminator(nn.Module):
     # input maps <= remat_save_max_res (same compile/memory guard as the
     # G-side policy, models/generator.py).
     remat_save_d_convs: bool = False
-    remat_save_max_res: int = 512
+    remat_save_max_res: int = 1024
     dtype: Dtype = jnp.float32
 
     @property

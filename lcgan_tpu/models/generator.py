@@ -188,12 +188,12 @@ class Generator(nn.Module):
     # convs in the backward — trades ~2 block-sized tensors of memory per
     # block for dropping the conv forwards from the recompute. Algebraically
     # identical grads (fp reassociation only; tested). Applied only to blocks
-    # whose output map is <= remat_save_max_res: at 1024² the policy on the
-    # top block sends XLA's scheduler into a compile-memory blowup (the AOT
-    # compile helper gets OOM-killed), so the largest blocks keep the plain
-    # save-nothing remat.
+    # whose output map is <= remat_save_max_res (a relief valve for
+    # HBM-constrained deployments; at the default 1024 every flagship block
+    # uses the policy — the r3 compile-blowup fear did not reproduce on
+    # re-measurement, and the r5 full-step 1024²/b2 memory check passed).
     remat_save_g_convs: bool = False
-    remat_save_max_res: int = 512
+    remat_save_max_res: int = 1024
     warp_impl: str = "auto"
     warp_pallas_min_res: int = 128
     warp_adaptive_band: bool = True

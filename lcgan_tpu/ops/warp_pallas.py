@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -250,8 +251,24 @@ def with_executed_flops(fn):
 _A = -0.75  # torch's cubic convolution constant (UpSample.h)
 _FAR = 1e9  # fx/fy pad value; |t| ≥ 2 ⇒ K(t) = 0, so padded positions vanish
 _NWAY = 4  # interleaved band accumulators (gather-dx kernel)
+
+# Probe overrides (tools/warp_dynpack_probe.py): force npack/unroll for ALL
+# channel counts, from the environment so a subprocess-per-config sweep keeps
+# kernel geometry and host wrappers consistent. Unset in production.
+_NPACK_FORCE = int(os.environ.get("LCGAN_WARP_NPACK", "0")) or None
+_UNROLL_FORCE = int(os.environ.get("LCGAN_WARP_UNROLL", "0")) or None
+
+
 def _unroll(c: int) -> int:
-    """Packs per band-loop body (loop-body ILP); measured best per width."""
+    """Packs per band-loop body (loop-body ILP); measured best per width.
+
+    NOTE for the dynamic band: the fori_loop trip granularity is
+    ``unroll · npack`` band rows — slack between a typical 4-8-row tap
+    window and that granularity is executed with K = 0 weights
+    (tools/warp_dynpack_probe.py sweeps it).
+    """
+    if _UNROLL_FORCE:
+        return _UNROLL_FORCE
     return 2 if c >= 128 else 4
 
 
@@ -273,6 +290,8 @@ def _npack(c: int) -> int:
     misalign the band origin for multi-row-block maps (non-pow2 channel
     counts like c=48 would otherwise yield npack=5).
     """
+    if _NPACK_FORCE:
+        return _NPACK_FORCE
     raw = max(1, min(8, 256 // max(c, 1)))
     return 1 << (raw.bit_length() - 1)
 
