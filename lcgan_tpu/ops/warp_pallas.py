@@ -162,11 +162,22 @@ def _call_flops_estimate(x_shape, itemsize: int, grid, m: int, dyn) -> None:
         st += static
         ex.append(float(static) * frac)
         if c >= 128:
-            # gather-dx sweeps its full NWAY-padded band — executed == static
+            # gather-dx: the kernel bounds each tile's band by the measured
+            # per-tile displacement (see _dx_gather_kernel) — price the
+            # executed trips with the same dmax math instead of the former
+            # full-static face value
             band_r = 2 * m + 1 + _overshoot(m)
             static = b * h * (w // tl) * band_r * 2 * c * s_dma * tl
             st += static
-            ex.append(1.0 * static)
+            if dyn is True:
+                rows_g = _tiles(
+                    h, w, c, m, itemsize,
+                    extra_row_bytes=s_dma * tl * itemsize + 2 * s_dma * 4,
+                )[0]
+                frac_g = _gather_dx_fraction(fy, rows_g, tl, s_dma, m)
+            else:
+                frac_g = 1.0
+            ex.append(float(static) * frac_g)
         else:
             rows_dx = _pick_rows_dx(h, w, c, m, itemsize)
             pb_dx, p_dx, _ = _pack_geom(h, rows_dx, m, npack, unroll)
@@ -181,6 +192,33 @@ def _call_flops_estimate(x_shape, itemsize: int, grid, m: int, dyn) -> None:
 
     _exec_collect[0].append(sum(ex[1:], ex[0]))
     _exec_collect[1].append(st)
+
+
+def _gather_dx_fraction(fy, rows: int, tl: int, s_dma: int, m: int) -> float:
+    """Executed fraction of the gather-dx kernel's NWAY-padded band.
+
+    The kernel bounds each (row-block, column-tile) tile's band by the max
+    |fy − output_row| over its fys slab (core rows + m-halo + overshoot,
+    column halo included; padded coords masked — see _dx_gather_kernel's
+    ``axb_body``/``d2``), then runs ``ceil((2·(⌊dmax⌋+3)+1)/NWAY)`` trips
+    per input row. Reproduced here in jnp (trace-safe: also runs inside the
+    ``with_executed_flops`` wrapper's trace) from the same coords.
+    """
+    b, h, w = fy.shape
+    dv = jnp.abs(fy - jnp.arange(h, dtype=jnp.float32)[None, :, None])
+    over = _overshoot(m)
+    trips_full = (2 * m + 1 + over) // _NWAY
+    nrb, nxt = h // rows, w // tl
+    total = jnp.float32(0.0)
+    for rb in range(nrb):
+        r_lo, r_hi = max(rb * rows - m, 0), min(rb * rows + rows + m + over, h)
+        for xt in range(nxt):
+            c_lo, c_hi = max(xt * tl - m, 0), min(xt * tl - m + s_dma, w)
+            d2 = jnp.floor(jnp.max(dv[:, r_lo:r_hi, c_lo:c_hi], axis=(1, 2))).astype(jnp.int32) + 3
+            total = total + jnp.sum(
+                jnp.minimum((2 * d2 + 1 + _NWAY - 1) // _NWAY, trips_full).astype(jnp.float32)
+            )
+    return total / (b * nrb * nxt * trips_full)
 
 
 def _big_dyn_fraction(fy, rows: int, tl: int, m: int, npack: int, unroll: int, p_slab: int, pb: int):
@@ -260,16 +298,22 @@ _UNROLL_FORCE = int(os.environ.get("LCGAN_WARP_UNROLL", "0")) or None
 
 
 def _unroll(c: int) -> int:
-    """Packs per band-loop body (loop-body ILP); measured best per width.
+    """Packs per band-loop body: 2 everywhere.
 
-    NOTE for the dynamic band: the fori_loop trip granularity is
-    ``unroll · npack`` band rows — slack between a typical 4-8-row tap
-    window and that granularity is executed with K = 0 weights
-    (tools/warp_dynpack_probe.py sweeps it).
+    The fori_loop trip granularity is ``unroll · npack`` band rows — any
+    slack between a typical 4-8-row dynamic-band tap window and that
+    granularity is executed with K = 0 weights. The r3 pick of unroll=4 at
+    C < 128 predates the dynamic band (static trips don't care about
+    granularity); the r5 re-sweep on trained-magnitude flows
+    (tools/warp_dynpack_probe.py, v5e, bf16, ms/application fwd / fwd+bwd)
+    measured unroll=2 strictly better at the low-channel flagships —
+    512²c64 16.2/49.4 → 13.1/46.4, 1024²c32 28.3/72.7 → 22.7/66.0 — by
+    halving that slack (32 → 16 rows/trip at c32), while unroll=1 gives
+    the slack back to loop overhead and npack < 256/C starves MXU rows.
     """
     if _UNROLL_FORCE:
         return _UNROLL_FORCE
-    return 2 if c >= 128 else 4
+    return 2
 
 
 def _npack(c: int) -> int:

@@ -185,7 +185,12 @@ def test_band_fraction_matches_dyn_window_rowwise(rng):
     np.testing.assert_allclose(frac, np.mean(want_trips) * unroll / pb, rtol=1e-6)
 
 
-@pytest.mark.parametrize("shape,mfs", [SHAPES[0], SHAPES[3], SHAPES[4]])
+# SHAPES[0]/[3]/[4]: small-map, general scatter-dx, small-map c128;
+# (1,16,256,128): general GATHER-dx — its executed estimate follows the
+# kernel's per-tile dmax bound (_gather_dx_fraction), not full-static
+@pytest.mark.parametrize(
+    "shape,mfs", [SHAPES[0], SHAPES[3], SHAPES[4], ((1, 16, 256, 128), 0.05)]
+)
 def test_with_executed_flops_brackets_static(shape, mfs, rng):
     """Executed FLOPs: positive, <= the static full-band figure under
     dyn=True, and EQUAL to it under dyn=False. (At these CPU-sized
