@@ -63,9 +63,12 @@ PEAK_FLOPS_PER_CHIP = 197e12
 # (the 80G-class target hardware takes the reference's b4). Order: 256²
 # first (the headline metric), then 1024² in the PROTECTED second slot
 # (r3+r4 both lost it to the driver's outer timeout when it ran last),
-# then 512². Deadlines are generous for cold compiles (~20-40s × 3
-# variants) but hard: a wedged tunnel costs one recipe, never the record.
-RECIPES = [(256, 8, 1050), (1024, 2, 1100), (512, 4, 800)]
+# then 512². Deadlines assume a WARM persistent compile cache (every code
+# change is followed by a cache-warming bench run; the r5 cold-compile run
+# measured 256² ~28 min and 1024² > 1100s through the tunnel, so a fully
+# cold round banks 256² and retries the rest) — hard either way: a wedged
+# tunnel costs one recipe, never the record.
+RECIPES = [(256, 8, 950), (1024, 2, 1400), (512, 4, 800)]
 
 # DESIGN.md bench-history ledger (imgs/sec/chip on this same v5e + harness).
 # A run measuring >25% below its ledger entry is treated as a degraded
