@@ -70,11 +70,12 @@ PEAK_FLOPS_PER_CHIP = 197e12
 # tunnel costs one recipe, never the record.
 RECIPES = [(256, 8, 950), (1024, 2, 1400), (512, 4, 800)]
 
-# DESIGN.md bench-history ledger (imgs/sec/chip on this same v5e + harness).
-# A run measuring >25% below its ledger entry is treated as a degraded
-# tunnel/queue day and retried once within budget — the r4 failure mode
-# (official 11.75 vs builder-measured 19.3/19.59 minutes apart).
-LEDGER = {256: 19.3, 512: 6.52, 1024: 1.83}
+# DESIGN.md bench-history ledger (imgs/sec/chip on this same v5e + harness;
+# r5: band unroll=2 + remat_save_max_res=1024). A run measuring >25% below
+# its ledger entry is treated as a degraded tunnel/queue day and retried
+# once within budget — the r4 failure mode (official 11.75 vs
+# builder-measured 19.3/19.59 minutes apart).
+LEDGER = {256: 20.8, 512: 6.77, 1024: 2.11}
 RETRY_BELOW_LEDGER = 0.75
 
 # Overall budget: skip remaining recipes (recording why) rather than let the
